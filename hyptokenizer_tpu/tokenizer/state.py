@@ -1,0 +1,212 @@
+"""The merge loop as a jitted state machine.
+
+The reference's training loop (tokenizer/hyperbolic_merge.py:357-412,
+tokenizer/fast_hyperbolic_merge.py:467-576) is a host-bound python loop that
+re-searches candidates every step. Here the whole loop is device-resident:
+
+  state = (embeddings buffer, per-row best-candidate arrays, merge table,
+           threshold, counters)
+  one step = global argmin  ->  tangent-space midpoint insert  ->
+             O(V d) incremental candidate updates
+
+All shapes are static (pre-allocated ``max_vocab_size`` buffers with an active
+prefix, the same trick the reference uses at hyperbolic_merge.py:144-153), so a
+``lax.while_loop`` of steps compiles once and runs at device speed. The host
+owns only the vocabulary *strings*, reconstructed from the integer merge table
+afterwards.
+
+Semantics parity notes:
+  * greedy selection = global min distance, ties -> lowest (i, j): identical to
+    the reference's stable sort over (i-major, j-minor) enumeration
+    (hyperbolic_merge.py:377-396).
+  * midpoint = exp_map(x_i, w_j * log_map(x_i, x_j)) with length-proportional
+    w_j, then re-projection (hyperbolic_merge.py:320-340).
+  * adaptive threshold: x1.5 after 6 consecutive empty rounds, stop after 10
+    empty rounds when non-adaptive (fast_hyperbolic_merge.py:529-541); x1.1
+    every 1000 steps (:572-576).
+  * unlike the reference, an already-merged pair is never selected again (the
+    reference re-merges pairs once its candidate cache refills — a quirk, not a
+    feature; we track the merged set exactly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from hyptokenizer_tpu.ops import lorentz as L
+from hyptokenizer_tpu.tokenizer import search
+
+INF = jnp.inf
+
+
+@struct.dataclass
+class MergeConfig:
+    """Static configuration of the merge loop (hashable, jit-static)."""
+
+    max_vocab_size: int = struct.field(pytree_node=False, default=100_000)
+    adaptive_threshold: bool = struct.field(pytree_node=False, default=True)
+    threshold_growth_every: int = struct.field(pytree_node=False, default=1000)
+    threshold_growth: float = struct.field(pytree_node=False, default=1.1)
+    empty_growth_after: int = struct.field(pytree_node=False, default=6)
+    empty_growth: float = struct.field(pytree_node=False, default=1.5)
+    empty_stop_after: int = struct.field(pytree_node=False, default=10)
+    search_block: int = struct.field(pytree_node=False, default=512)
+
+
+@struct.dataclass
+class MergeState:
+    """Device-side merge training state (a pytree; donate-friendly)."""
+
+    emb: jax.Array          # (max_V, d+1) f32 hyperboloid points
+    lengths: jax.Array      # (max_V,) i32 token string lengths
+    best_dist: jax.Array    # (max_V,) f32 closest-unmerged-partner distance
+    best_j: jax.Array       # (max_V,) i32 partner index
+    merges: jax.Array       # (max_V, 2) i32 merge history (i, j), -1 padded
+    merge_dists: jax.Array  # (max_V,) f32 distance at merge time (stats)
+    vocab_size: jax.Array   # i32 scalar — active prefix length
+    num_merges: jax.Array   # i32 scalar
+    step: jax.Array         # i32 scalar — optimisation step counter
+    threshold: jax.Array    # f32 scalar
+    curvature: jax.Array    # f32 scalar
+    empty_rounds: jax.Array  # i32 scalar — consecutive candidate-free rounds
+    stopped: jax.Array      # bool scalar
+
+
+def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
+               threshold: float = 0.1, config: MergeConfig) -> MergeState:
+    """Build the initial state and run the one-time O(V0^2 d) candidate pass."""
+    max_v = config.max_vocab_size
+    d1 = emb0.shape[1]
+    n0 = emb0.shape[0]
+    if n0 > max_v:
+        raise ValueError(f"initial vocab {n0} exceeds max_vocab_size {max_v}")
+
+    emb = jnp.zeros((max_v, d1), jnp.float32).at[:n0].set(emb0.astype(jnp.float32))
+    lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(lengths0.astype(jnp.int32))
+    merges = jnp.full((max_v, 2), -1, jnp.int32)
+    merge_dists = jnp.zeros((max_v,), jnp.float32)
+    vocab_size = jnp.asarray(n0, jnp.int32)
+    num_merges = jnp.asarray(0, jnp.int32)
+    c = jnp.asarray(curvature, jnp.float32)
+
+    best_dist, best_j = search.full_pass_best(
+        emb, vocab_size, c, merges, num_merges, block=config.search_block
+    )
+    return MergeState(
+        emb=emb, lengths=lengths, best_dist=best_dist, best_j=best_j,
+        merges=merges, merge_dists=merge_dists, vocab_size=vocab_size,
+        num_merges=num_merges, step=jnp.asarray(0, jnp.int32),
+        threshold=jnp.asarray(threshold, jnp.float32), curvature=c,
+        empty_rounds=jnp.asarray(0, jnp.int32),
+        stopped=jnp.asarray(False, jnp.bool_),
+    )
+
+
+def midpoint_insert(emb: jax.Array, lengths: jax.Array, i: jax.Array,
+                    j: jax.Array, new_idx: jax.Array, c: jax.Array):
+    """Weighted tangent-space midpoint of tokens i and j, written at new_idx.
+
+    Parity: reference _merge_tokens (hyperbolic_merge.py:309-355) — weights are
+    proportional to operand string lengths; midpoint is exp_map at x_i of the
+    w_j-scaled log of x_j, re-projected onto the sheet.
+    """
+    xi = jax.lax.dynamic_index_in_dim(emb, i, axis=0, keepdims=False)
+    xj = jax.lax.dynamic_index_in_dim(emb, j, axis=0, keepdims=False)
+    len_i = jax.lax.dynamic_index_in_dim(lengths, i, axis=0, keepdims=False)
+    len_j = jax.lax.dynamic_index_in_dim(lengths, j, axis=0, keepdims=False)
+    w_j = len_j.astype(jnp.float32) / (len_i + len_j).astype(jnp.float32)
+
+    v = L.log_map(xi, xj, c)
+    x_new = L.project_to_hyperboloid(L.exp_map(xi, w_j * v, c), c)
+
+    emb = emb.at[new_idx].set(x_new)
+    lengths = lengths.at[new_idx].set(len_i + len_j)
+    return emb, lengths
+
+
+def _do_merge(state: MergeState, config: MergeConfig) -> MergeState:
+    """Apply the current best merge and incrementally update candidates."""
+    i = jnp.argmin(state.best_dist).astype(jnp.int32)
+    d = state.best_dist[i]
+    j = state.best_j[i]
+    new_idx = state.vocab_size
+
+    emb, lengths = midpoint_insert(state.emb, state.lengths, i, j, new_idx,
+                                   state.curvature)
+    merges = state.merges.at[state.num_merges].set(
+        jnp.stack([i, j]).astype(jnp.int32))
+    merge_dists = state.merge_dists.at[state.num_merges].set(d)
+    num_merges = state.num_merges + 1
+    vocab_size = state.vocab_size + 1
+
+    # Fold the new column into every row's best, then refresh row i (its
+    # winning partner just joined the merged set).
+    best_dist, best_j = search.column_update(
+        emb, new_idx, state.curvature, state.best_dist, state.best_j)
+    ri_d, ri_j = search.row_best(emb, i, vocab_size, state.curvature,
+                                 merges, num_merges)
+    best_dist = best_dist.at[i].set(ri_d)
+    best_j = best_j.at[i].set(ri_j)
+
+    return state.replace(
+        emb=emb, lengths=lengths, best_dist=best_dist, best_j=best_j,
+        merges=merges, merge_dists=merge_dists, vocab_size=vocab_size,
+        num_merges=num_merges, empty_rounds=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _no_candidate(state: MergeState, config: MergeConfig) -> MergeState:
+    """Adaptive-threshold escape hatch (fast_hyperbolic_merge.py:529-541)."""
+    empty = state.empty_rounds + 1
+    if config.adaptive_threshold:
+        grow = empty >= config.empty_growth_after
+        threshold = jnp.where(grow, state.threshold * config.empty_growth,
+                              state.threshold)
+        empty = jnp.where(grow, 0, empty)
+        return state.replace(threshold=threshold, empty_rounds=empty)
+    stopped = empty >= config.empty_stop_after
+    return state.replace(empty_rounds=empty, stopped=stopped)
+
+
+def merge_step(state: MergeState, config: MergeConfig) -> MergeState:
+    """One optimisation step: merge the best candidate, or adapt the threshold."""
+    best = jnp.min(state.best_dist)
+    has_candidate = (best < state.threshold) & (state.vocab_size < config.max_vocab_size)
+
+    state = jax.lax.cond(
+        has_candidate,
+        lambda s: _do_merge(s, config),
+        lambda s: _no_candidate(s, config),
+        state,
+    )
+    step = state.step + 1
+    # Periodic threshold growth (fast_hyperbolic_merge.py:572-576).
+    if config.adaptive_threshold and config.threshold_growth_every > 0:
+        grow = (step % config.threshold_growth_every) == 0
+        threshold = jnp.where(grow, state.threshold * config.threshold_growth,
+                              state.threshold)
+    else:
+        threshold = state.threshold
+    full = state.vocab_size >= config.max_vocab_size
+    return state.replace(step=step, threshold=threshold,
+                         stopped=state.stopped | full)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+                   donate_argnames=("state",))
+def run_merges(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
+    """Run up to ``n_steps`` merge steps in one compiled while-loop."""
+    start = state.step
+
+    def cond(s):
+        return (~s.stopped) & (s.step - start < n_steps)
+
+    def body(s):
+        return merge_step(s, config)
+
+    return jax.lax.while_loop(cond, body, state)
