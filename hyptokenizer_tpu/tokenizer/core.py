@@ -1,0 +1,254 @@
+"""Host-side tokenizer API: the reference's class surface over the device loop.
+
+Capability parity with ``HyperbolicTokenizer`` / ``FastHyperbolicTokenizer``
+(tokenizer/hyperbolic_merge.py:96-625, tokenizer/fast_hyperbolic_merge.py:136-576):
+same constructor knobs, ``optimize_merges`` / ``tokenize`` / ``encode`` /
+``decode`` / ``save`` / ``load`` surface, same on-disk artifact schema — but the
+training loop runs as a jitted device state machine (state.py) with exact
+incremental candidate search instead of host python + FAISS.
+
+The host owns strings (vocabulary, merge history); the device owns arrays.
+After each chunk of device steps the host materialises the new merge indices
+and extends the string vocabulary.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyptokenizer_tpu.ops import lorentz as L
+from hyptokenizer_tpu.tokenizer import search as search_lib
+from hyptokenizer_tpu.tokenizer import state as state_lib
+from hyptokenizer_tpu.tokenizer.encode import Encoder
+
+logger = logging.getLogger(__name__)
+
+
+class HyperbolicTokenizer:
+    """Distance-threshold hyperbolic merge tokenizer (TPU-native).
+
+    Mirrors the reference constructor (hyperbolic_merge.py:104-127); ``lr`` and
+    ``use_approximate_search`` are accepted for API parity (approximate search
+    is unnecessary here — candidate search is exact and faster; see search.py).
+    """
+
+    def __init__(
+        self,
+        vocab: Sequence[str],
+        embeddings,
+        curvature: float = 1.0,
+        merge_threshold: float = 0.1,
+        lr: float = 1e-3,
+        device=None,
+        max_vocab_size: int = 100_000,
+        use_approximate_search: bool = True,
+        adaptive_threshold: bool = True,
+        search_block: int = 512,
+    ):
+        if len(vocab) > max_vocab_size:
+            raise ValueError("initial vocab larger than max_vocab_size")
+        self.vocab: List[str] = list(vocab)
+        self.curvature = float(curvature)
+        self.merge_threshold = float(merge_threshold)
+        self.lr = float(lr)
+        self.max_vocab_size = int(max_vocab_size)
+        self.use_approximate_search = bool(use_approximate_search)
+        self.merge_history: List[Tuple[str, str, str]] = []
+        self.training_stats: List[Dict] = []
+        self._encoder: Optional[Encoder] = None
+
+        emb0 = jnp.asarray(np.asarray(embeddings), jnp.float32)
+        if emb0.ndim != 2 or emb0.shape[0] != len(vocab):
+            raise ValueError(f"embeddings shape {emb0.shape} != (len(vocab), d+1)")
+        lengths0 = jnp.asarray([len(t) for t in self.vocab], jnp.int32)
+
+        self.config = state_lib.MergeConfig(
+            max_vocab_size=self.max_vocab_size,
+            adaptive_threshold=adaptive_threshold,
+            search_block=search_block,
+        )
+        self.state = state_lib.init_state(
+            emb0, lengths0, curvature=self.curvature,
+            threshold=self.merge_threshold, config=self.config,
+        )
+
+    # ------------------------------------------------------------------ props
+    @property
+    def current_vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def token2idx(self) -> Dict[str, int]:
+        return {t: i for i, t in enumerate(self.vocab)}
+
+    @property
+    def embeddings(self) -> np.ndarray:
+        """Active embedding rows, host-side (V, d+1)."""
+        v = int(self.state.vocab_size)
+        return np.asarray(self.state.emb[:v])
+
+    # --------------------------------------------------------------- training
+    def _sync_merges_from_device(self) -> int:
+        """Pull new merge indices off the device, extend the string vocab."""
+        n_dev = int(self.state.num_merges)
+        n_host = len(self.merge_history)
+        if n_dev == n_host:
+            return 0
+        pairs = np.asarray(self.state.merges[n_host:n_dev])
+        for a, b in pairs:
+            tok_a, tok_b = self.vocab[int(a)], self.vocab[int(b)]
+            merged = tok_a + tok_b
+            self.vocab.append(merged)
+            self.merge_history.append((tok_a, tok_b, merged))
+        self._encoder = None  # merge rules changed
+        return n_dev - n_host
+
+    def optimize_merges(self, steps: int = 10_000, log_every: int = 1000,
+                        **_compat) -> None:
+        """Run the merge loop (API parity: hyperbolic_merge.py:357-412).
+
+        Extra kwargs (``parallel_eval``, ``sample_ratio``, ``text_sample``,
+        ``adaptive_threshold``) are accepted for reference-API compatibility.
+        """
+        if "adaptive_threshold" in _compat:
+            self.config = self.config.replace(
+                adaptive_threshold=bool(_compat["adaptive_threshold"]))
+        done = 0
+        while done < steps:
+            chunk = min(log_every, steps - done)
+            t0 = time.perf_counter()
+            self.state = state_lib.run_merges(self.state, self.config, chunk)
+            new = self._sync_merges_from_device()
+            dt = time.perf_counter() - t0
+            done += chunk
+            stat = {
+                "step": int(self.state.step),
+                "vocab_size": len(self.vocab),
+                "merges": len(self.merge_history),
+                "threshold": float(self.state.threshold),
+                "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
+            }
+            self.training_stats.append(stat)
+            logger.info("step %(step)d: vocab=%(vocab_size)d merges=%(merges)d "
+                        "threshold=%(threshold).6f %(steps_per_sec).1f steps/s", stat)
+            if bool(self.state.stopped):
+                logger.info("No more merge candidates found. Stopping.")
+                break
+        self.merge_threshold = float(self.state.threshold)
+
+    # -------------------------------------------------------------- inference
+    def _get_encoder(self) -> Encoder:
+        if self._encoder is None:
+            self._encoder = Encoder(self.vocab, self.merge_history)
+        return self._encoder
+
+    def tokenize(self, text: str) -> List[str]:
+        return self._get_encoder().tokenize(text)
+
+    def encode(self, text: str) -> List[int]:
+        return self._get_encoder().encode(text)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._get_encoder().decode(ids)
+
+    # ----------------------------------------------------------------- persist
+    def save(self, path: str) -> None:
+        """Write reference-schema artifacts (hyperbolic_merge.py:473-504).
+
+        ``embeddings.pt`` is written when torch is importable (bit-compatible
+        with the reference's loader); ``embeddings.npy`` is always written.
+        """
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "vocab.json"), "w") as f:
+            json.dump(self.vocab, f)
+        emb = self.embeddings
+        np.save(os.path.join(path, "embeddings.npy"), emb)
+        try:
+            import torch
+            torch.save(torch.from_numpy(emb.copy()), os.path.join(path, "embeddings.pt"))
+        except ImportError:
+            pass
+        with open(os.path.join(path, "merges.json"), "w") as f:
+            json.dump([list(m) for m in self.merge_history], f)
+        config = {
+            "curvature": float(self.state.curvature),
+            "merge_threshold": float(self.state.threshold),
+            "embedding_dim": emb.shape[1] - 1,
+            "max_vocab_size": self.max_vocab_size,
+            "use_approximate_search": self.use_approximate_search,
+        }
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config, f)
+        with open(os.path.join(path, "training_stats.json"), "w") as f:
+            json.dump(self.training_stats, f)
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "HyperbolicTokenizer":
+        """Load reference-schema artifacts (hyperbolic_merge.py:506-551)."""
+        with open(os.path.join(path, "vocab.json")) as f:
+            vocab = json.load(f)
+        npy = os.path.join(path, "embeddings.npy")
+        if os.path.exists(npy):
+            emb = np.load(npy)
+        else:
+            import torch
+            emb = torch.load(os.path.join(path, "embeddings.pt"),
+                             map_location="cpu", weights_only=True).numpy()
+        with open(os.path.join(path, "config.json")) as f:
+            config = json.load(f)
+        with open(os.path.join(path, "merges.json")) as f:
+            merges = [tuple(m) for m in json.load(f)]
+
+        # Reconstruct: the *initial* vocab is the prefix before merged tokens.
+        n_init = len(vocab) - len(merges)
+        tok = cls(
+            vocab=vocab[:n_init],
+            embeddings=emb[:n_init],
+            curvature=config["curvature"],
+            merge_threshold=config["merge_threshold"],
+            max_vocab_size=config.get("max_vocab_size", 100_000),
+            use_approximate_search=config.get("use_approximate_search", True),
+        )
+        # Replay merge history onto the host state; restore device arrays.
+        tok.vocab = list(vocab)
+        tok.merge_history = merges
+        v = len(vocab)
+        emb_full = jnp.asarray(emb, jnp.float32)
+        st = tok.state
+        st = st.replace(
+            emb=st.emb.at[:v].set(emb_full[:v]),
+            lengths=st.lengths.at[:v].set(
+                jnp.asarray([len(t) for t in vocab], jnp.int32)),
+            vocab_size=jnp.asarray(v, jnp.int32),
+        )
+        # Merge index pairs: replay from strings via first-occurrence index.
+        if merges:
+            t2i: Dict[str, int] = {}
+            for i, t in enumerate(vocab):
+                t2i.setdefault(t, i)
+            pairs = np.asarray(
+                [[t2i[a], t2i[b]] for a, b, _ in merges], np.int32)
+            st = st.replace(
+                merges=st.merges.at[:len(merges)].set(jnp.asarray(pairs)),
+                num_merges=jnp.asarray(len(merges), jnp.int32),
+            )
+        # Candidate arrays refreshed for potential continued training.
+        bd, bj = search_lib.full_pass_best(
+            st.emb, st.vocab_size, st.curvature, st.merges, st.num_merges,
+            block=tok.config.search_block)
+        tok.state = st.replace(best_dist=bd, best_j=bj)
+        return tok
+
+
+# Name-parity alias: the reference's "fast" class is behaviourally the same
+# loop here (the speed techniques it exists for — HNSW, caching, staleness —
+# are subsumed by exact incremental search).
+FastHyperbolicTokenizer = HyperbolicTokenizer

@@ -1,0 +1,140 @@
+"""Conformant tokenize/encode/decode — the inference path.
+
+Reproduces the reference's fixpoint merge application *exactly*
+(tokenizer/hyperbolic_merge.py:414-471): character split, then repeated
+left-to-right scans replacing the FIRST adjacent pair found in the merge-rule
+table, until a full scan changes nothing. This is NOT priority-ordered BPE —
+first-match-wins per scan position, multiple passes — and byte-identical token
+ids require replicating it as-is (SURVEY §3.3).
+
+A C++ fast path with identical semantics lives in native/fast_encode.cpp and is
+used automatically when its shared library has been built (python fallback
+otherwise). Conformance of the two paths against each other is tested in
+tests/test_conformance.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "libfast_encode.so",
+)
+
+UNK_TOKEN = "<unk>"
+UNK_FALLBACK_ID = 3  # reference hyperbolic_merge.py:459
+
+
+def build_merge_rules(merge_history: Sequence[Tuple[str, str, str]]) -> Dict[Tuple[str, str], str]:
+    """Merge-rule lookup table {(left, right): merged}.
+
+    Insertion order matters only through dict-overwrite semantics: as in the
+    reference (:425-428), a later duplicate (left, right) pair overwrites the
+    earlier rule.
+    """
+    return {(a, b): m for a, b, m in merge_history}
+
+
+def tokenize_py(text: str, merge_rules: Dict[Tuple[str, str], str]) -> List[str]:
+    """Pure-python reference-semantics tokenizer (hyperbolic_merge.py:414-446)."""
+    tokens = list(text)
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(tokens) - 1:
+            pair = (tokens[i], tokens[i + 1])
+            merged = merge_rules.get(pair)
+            if merged is not None:
+                tokens[i] = merged
+                tokens.pop(i + 1)
+                changed = True
+            else:
+                i += 1
+    return tokens
+
+
+class _NativeEncoder:
+    """ctypes wrapper over native/fast_encode.cpp (built lazily via make)."""
+
+    def __init__(self, lib_path: str):
+        lib = ctypes.CDLL(lib_path)
+        lib.he_create.restype = ctypes.c_void_p
+        lib.he_create.argtypes = []
+        lib.he_destroy.argtypes = [ctypes.c_void_p]
+        lib.he_add_rule.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_char_p, ctypes.c_char_p]
+        lib.he_add_vocab.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.he_set_unk.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.he_encode.restype = ctypes.c_int
+        lib.he_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        self._lib = lib
+        self._h = lib.he_create()
+
+    def __del__(self):
+        try:
+            self._lib.he_destroy(self._h)
+        except Exception:
+            pass
+
+    def load(self, merge_rules, token2idx, unk_id):
+        for (a, b), m in merge_rules.items():
+            self._lib.he_add_rule(self._h, a.encode(), b.encode(), m.encode())
+        for tok, idx in token2idx.items():
+            self._lib.he_add_vocab(self._h, tok.encode(), idx)
+        self._lib.he_set_unk(self._h, unk_id)
+
+    def encode(self, text: str) -> List[int]:
+        data = text.encode()
+        cap = max(8, len(text) + 1)
+        out = (ctypes.c_int * cap)()
+        n = self._lib.he_encode(self._h, data, len(data), out, cap)
+        if n < 0:
+            raise RuntimeError("native encode failed")
+        return list(out[:n])
+
+
+class Encoder:
+    """tokenize/encode/decode with reference semantics and a native fast path."""
+
+    def __init__(self, vocab: Sequence[str],
+                 merge_history: Sequence[Tuple[str, str, str]],
+                 use_native: Optional[bool] = None):
+        self.vocab = list(vocab)
+        self.merge_history = [tuple(m) for m in merge_history]
+        self.merge_rules = build_merge_rules(self.merge_history)
+        self.token2idx = {t: i for i, t in enumerate(self.vocab)}
+        self.unk_id = self.token2idx.get(UNK_TOKEN, UNK_FALLBACK_ID)
+        self._native = None
+        if use_native is None:
+            use_native = os.path.exists(_NATIVE_PATH)
+        if use_native:
+            try:
+                native = _NativeEncoder(_NATIVE_PATH)
+                native.load(self.merge_rules, self.token2idx, self.unk_id)
+                self._native = native
+            except OSError:
+                self._native = None
+
+    @property
+    def native_available(self) -> bool:
+        return self._native is not None
+
+    def tokenize(self, text: str) -> List[str]:
+        return tokenize_py(text, self.merge_rules)
+
+    def encode(self, text: str) -> List[int]:
+        if self._native is not None:
+            return self._native.encode(text)
+        return [self.token2idx.get(t, self.unk_id) for t in self.tokenize(text)]
+
+    def encode_py(self, text: str) -> List[int]:
+        """Pure-python path (for conformance cross-checks)."""
+        return [self.token2idx.get(t, self.unk_id) for t in self.tokenize(text)]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return "".join(self.vocab[i] for i in ids)
