@@ -1,0 +1,78 @@
+"""Headline benchmark: hyperbolic merge-training throughput on TPU.
+
+Workload: the reference's "fast tokenizer" configuration (README.md:94-104 —
+embedding_dim 100, target vocab 50k) run as a device-resident merge loop.
+Metric: merge steps/sec, steady-state (compile excluded).
+
+Baseline: the reference implementation (torch CPU, its no-FAISS fast path with
+candidate caching) measures 12.13 amortized steps/sec at V0=1024, d=100 —
+measured in-situ, see BASELINE.md. Its candidate search is O(V^2 d) per refill,
+so this is an *upper bound* on its rate at the real 50k workload; the number
+here is per-chip on the actual 50k-vocab workload.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_BASELINE_STEPS_PER_SEC = 12.13  # BASELINE.md, measured on the reference
+
+
+def main():
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import MergeConfig, init_state, run_merges
+
+    d = 100
+    n_init = 4096
+    max_v = 50_176  # 50k target, multiple of 1024 for clean tiling
+    warmup_steps = 256
+    bench_steps = 16_384
+
+    key = jax.random.PRNGKey(0)
+    emb0 = L.random_points(key, n_init, d, sigma=0.5)
+    lengths0 = jnp.ones((n_init,), jnp.int32)
+    config = MergeConfig(max_vocab_size=max_v, search_block=512)
+
+    t0 = time.perf_counter()
+    state = init_state(emb0, lengths0, curvature=1.0, threshold=5.0,
+                       config=config)
+    jax.block_until_ready(state.best_dist)
+    t_init = time.perf_counter() - t0
+
+    # Warmup: compiles the while-loop step.
+    t0 = time.perf_counter()
+    state = run_merges(state, config, warmup_steps)
+    jax.block_until_ready(state.best_dist)
+    t_warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = run_merges(state, config, bench_steps)
+    jax.block_until_ready(state.best_dist)
+    dt = time.perf_counter() - t0
+
+    steps_done = int(state.step) - warmup_steps
+    value = steps_done / dt
+    result = {
+        "metric": "merge_steps_per_sec",
+        "value": round(value, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(value / REF_BASELINE_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    # Secondary detail on stderr-ish (still stdout but after the JSON line the
+    # driver reads the first line; keep diagnostics on one extra line).
+    import sys
+    print(
+        f"# init_pass={t_init:.2f}s warmup(compile)={t_warm:.2f}s "
+        f"bench={dt:.2f}s merges={int(state.num_merges)} "
+        f"vocab={int(state.vocab_size)} device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Sharded merge training step.
+
+The step function is the same pure ``merge_step`` as single-chip (state.py);
+SPMD partitioning comes entirely from sharding annotations: XLA partitions the
+row-dimension matvecs across the mesh and inserts the global-argmin collectives
+(all-gather of per-shard minima — O(mesh) bytes, negligible), keeping the
+embedding matrix distributed. This is the jax-native replacement for the
+NCCL/torch.distributed layer the reference never had (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh
+
+from hyptokenizer_tpu.parallel.mesh import shard_state, state_shardings
+from hyptokenizer_tpu.tokenizer import state as state_lib
+from hyptokenizer_tpu.tokenizer.state import MergeConfig, MergeState
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+                   donate_argnames=("state",))
+def _run(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
+    start = state.step
+
+    def cond(s):
+        return (~s.stopped) & (s.step - start < n_steps)
+
+    return jax.lax.while_loop(cond, lambda s: state_lib.merge_step(s, config), state)
+
+
+def run_merges_sharded(state: MergeState, config: MergeConfig, n_steps: int,
+                       mesh: Mesh) -> MergeState:
+    """Run ``n_steps`` merge steps with the state sharded over ``mesh``.
+
+    The input state may be unsharded (it will be placed); the output keeps the
+    mesh shardings, so chained calls don't re-shard.
+    """
+    if state.emb.shape[0] % mesh.devices.size != 0:
+        raise ValueError(
+            f"max_vocab_size {state.emb.shape[0]} not divisible by mesh size "
+            f"{mesh.devices.size}; use parallel.mesh.pad_vocab_for_mesh")
+    state = shard_state(state, mesh)
+    with mesh:
+        out = _run(state, config, n_steps)
+    # jit propagates input shardings; re-assert canonical placement so chained
+    # calls and host reads see the expected layout (no-op when already there).
+    return shard_state(out, mesh)

@@ -1,0 +1,86 @@
+"""Sharded merge loop: collective correctness on the 8-device CPU mesh.
+
+SURVEY §4: CPU-mesh simulation for multi-chip behavior, plus single-chip vs
+N-chip equivalence. Min/argmin reductions and row-partitioned matvecs are
+order-independent in the sharded dimension, so the sharded merge sequence must
+be *bit-identical* to single-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyptokenizer_tpu.ops import lorentz as L
+from hyptokenizer_tpu.parallel import make_mesh, run_merges_sharded
+from hyptokenizer_tpu.parallel.mesh import pad_vocab_for_mesh, shard_state
+from hyptokenizer_tpu.tokenizer import MergeConfig, init_state, run_merges
+
+
+def build(max_v=64, n=24, d=8, threshold=3.0):
+    vocab_lengths = jnp.asarray([1 + i % 3 for i in range(n)], jnp.int32)
+    emb = L.random_points(jax.random.PRNGKey(3), n, d, sigma=0.6)
+    config = MergeConfig(max_vocab_size=max_v, search_block=16)
+    st = init_state(emb, vocab_lengths, curvature=1.0, threshold=threshold,
+                    config=config)
+    return st, config
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+
+
+def test_sharded_equals_single_device():
+    st, config = build(max_v=pad_vocab_for_mesh(64, 8))
+    single = run_merges(st, config, 15)
+
+    st2, _ = build(max_v=pad_vocab_for_mesh(64, 8))
+    mesh = make_mesh()
+    sharded = run_merges_sharded(st2, config, 15, mesh)
+
+    assert int(single.num_merges) == int(sharded.num_merges)
+    n = int(single.num_merges)
+    assert n > 3
+    np.testing.assert_array_equal(np.asarray(single.merges[:n]),
+                                  np.asarray(sharded.merges[:n]))
+    np.testing.assert_allclose(np.asarray(single.emb), np.asarray(sharded.emb),
+                               atol=1e-6)
+    assert float(single.threshold) == float(sharded.threshold)
+
+
+def test_sharded_chained_calls():
+    st, config = build(max_v=pad_vocab_for_mesh(64, 8))
+    mesh = make_mesh()
+    s1 = run_merges_sharded(st, config, 5, mesh)
+    s2 = run_merges_sharded(s1, config, 5, mesh)
+    assert int(s2.step) == 10
+
+    st2, _ = build(max_v=pad_vocab_for_mesh(64, 8))
+    ref = run_merges(st2, config, 10)
+    assert int(ref.num_merges) == int(s2.num_merges)
+    np.testing.assert_array_equal(
+        np.asarray(ref.merges[: int(ref.num_merges)]),
+        np.asarray(s2.merges[: int(s2.num_merges)]))
+
+
+def test_state_sharding_layout():
+    st, config = build(max_v=pad_vocab_for_mesh(64, 8))
+    mesh = make_mesh()
+    sh = shard_state(st, mesh)
+    # emb rows split 8 ways; scalars replicated.
+    assert sh.emb.sharding.num_devices == 8
+    shard_shapes = {s.data.shape for s in sh.emb.addressable_shards}
+    assert shard_shapes == {(st.emb.shape[0] // 8, st.emb.shape[1])}
+    assert sh.threshold.sharding.is_fully_replicated
+
+
+def test_graft_entry_smoke():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.emb)
+    assert int(out.step) == 1
+    mod.dryrun_multichip(8)
