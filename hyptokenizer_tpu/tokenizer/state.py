@@ -56,6 +56,8 @@ class MergeConfig:
     empty_growth: float = struct.field(pytree_node=False, default=1.5)
     empty_stop_after: int = struct.field(pytree_node=False, default=10)
     search_block: int = struct.field(pytree_node=False, default=512)
+    # Full-pass backend: None = auto (Pallas on TPU, XLA elsewhere).
+    use_pallas: bool | None = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -94,9 +96,17 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     num_merges = jnp.asarray(0, jnp.int32)
     c = jnp.asarray(curvature, jnp.float32)
 
-    best_dist, best_j = search.full_pass_best(
-        emb, vocab_size, c, merges, num_merges, block=config.search_block
-    )
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        # History is empty at init: the fused kernel applies directly.
+        from hyptokenizer_tpu.ops.pallas import pairwise_min_best
+        best_dist, best_j = pairwise_min_best(emb, vocab_size, c)
+    else:
+        best_dist, best_j = search.full_pass_best(
+            emb, vocab_size, c, merges, num_merges, block=config.search_block
+        )
     return MergeState(
         emb=emb, lengths=lengths, best_dist=best_dist, best_j=best_j,
         merges=merges, merge_dists=merge_dists, vocab_size=vocab_size,
