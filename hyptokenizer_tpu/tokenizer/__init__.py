@@ -11,6 +11,14 @@ from hyptokenizer_tpu.tokenizer.core import (  # noqa: F401
     HyperbolicTokenizer,
 )
 from hyptokenizer_tpu.tokenizer.encode import Encoder  # noqa: F401
+from hyptokenizer_tpu.tokenizer.enhanced import (  # noqa: F401
+    AdaptiveCurvatureTokenizer,
+    CompressionAwareTokenizer,
+    EnhancedFastHyperbolicTokenizer,
+    EnhancedHyperbolicTokenizer,
+    FrequencyAwareHyperbolicTokenizer,
+    HierarchicalHyperbolicTokenizer,
+)
 from hyptokenizer_tpu.tokenizer.state import (  # noqa: F401
     MergeConfig,
     MergeState,

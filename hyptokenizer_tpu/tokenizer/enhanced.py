@@ -1,0 +1,378 @@
+"""Host API for the enhanced tokenizer family.
+
+``EnhancedHyperbolicTokenizer`` carries the reference flagship's full
+constructor surface (enhanced_fast_hyperbolic_merge.py:78-121) over the scored
+device loop (enhanced_state.py). The sibling classes
+(FrequencyAware/Hierarchical/AdaptiveCurvature/CompressionAware) are thin
+configurations of the same engine — the reference implements them as four
+copy-paste variants (SURVEY §2.2 #5-#8); here the feature matrix is function
+composition.
+
+Also provides the *intended* API the reference's own enhanced training script
+calls but the reference never implemented (SURVEY §2.5):
+``register_callback`` and ``optimize_merges(target_vocab_size=...)``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyptokenizer_tpu.tokenizer import enhanced_state as E
+from hyptokenizer_tpu.tokenizer import scoring
+from hyptokenizer_tpu.tokenizer.core import HyperbolicTokenizer
+from hyptokenizer_tpu.tokenizer.state import MergeConfig
+from hyptokenizer_tpu.utils import morphology
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CORPUS_TOKENS = 1 << 21
+
+
+class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
+    """Flagship tokenizer: all scoring features behind flags.
+
+    HNSW/cache parameters (``cache_size``, ``rebuild_frequency``, ``hnsw_*``)
+    are accepted for API parity and ignored: candidate search here is exact and
+    incremental, so there is no index to cache or rebuild (BASELINE.md).
+    """
+
+    def __init__(
+        self,
+        vocab: Sequence[str],
+        embeddings,
+        curvature: float = 1.0,
+        merge_threshold: float = 0.5,
+        lr: float = 1e-3,
+        device=None,
+        max_vocab_size: int = 100_000,
+        use_approximate_search: bool = True,
+        cache_size: int = 10_000,
+        rebuild_frequency: int = 100,
+        hnsw_m: int = 32,
+        hnsw_ef_construction: int = 200,
+        hnsw_ef_search: int = 100,
+        # Feature flags
+        use_frequency_aware: bool = True,
+        use_hierarchical: bool = True,
+        use_adaptive_curvature: bool = True,
+        use_compression_aware: bool = True,
+        # Frequency-aware parameters
+        corpus_path: Optional[str] = None,
+        alpha: float = 0.4,
+        beta: float = 0.4,
+        gamma: float = 0.2,
+        # Hierarchical parameters
+        language: str = "english",
+        # Adaptive curvature parameters
+        curvature_lr: float = 0.01,
+        hierarchy_weight: float = 1.0,
+        distortion_weight: float = 0.1,
+        optimize_curvature_freq: int = 100,
+        # Compression-aware parameters
+        corpus_sample: Optional[List[str]] = None,
+        compression_weight: float = 0.7,
+        distance_weight: float = 0.3,
+        sample_size: int = 100,
+        # TPU-build knobs
+        pool_k: int = 64,
+        corpus_max_tokens: int = DEFAULT_CORPUS_TOKENS,
+        search_block: int = 512,
+        seed: int = 0,
+    ):
+        super().__init__(
+            vocab, embeddings, curvature=curvature,
+            merge_threshold=merge_threshold, lr=lr, device=device,
+            max_vocab_size=max_vocab_size,
+            use_approximate_search=use_approximate_search,
+            search_block=search_block,
+        )
+        self.language = language
+        self.callbacks: List[Callable] = []
+        del cache_size, rebuild_frequency, hnsw_m, hnsw_ef_construction
+        del hnsw_ef_search, distance_weight, sample_size  # parity-only knobs
+
+        del pool_k  # superseded by the two-channel candidate architecture
+        self.enh_config = E.EnhancedConfig(
+            base=MergeConfig(max_vocab_size=self.max_vocab_size,
+                             search_block=search_block),
+            n_init=len(self.vocab),
+            has_corpus=bool(corpus_path or corpus_sample),
+            use_frequency=use_frequency_aware,
+            alpha=alpha, beta=beta, gamma=gamma,
+            use_compression=use_compression_aware,
+            compression_weight=compression_weight,
+            use_hierarchical=use_hierarchical,
+            use_adaptive_curvature=use_adaptive_curvature,
+            curvature_freq=optimize_curvature_freq,
+            curvature_lr=curvature_lr,
+            hierarchy_weight=hierarchy_weight,
+            distortion_weight=distortion_weight,
+        )
+        self.current_phase = 1
+
+        # --- corpus ---
+        texts: List[str] = []
+        if corpus_path:
+            with open(corpus_path, encoding="utf-8") as f:
+                texts = [ln.rstrip("\n") for ln in f]
+        elif corpus_sample:
+            texts = list(corpus_sample)
+        self.corpus_sample = texts
+        corpus_ids = self._encode_initial_corpus(texts, corpus_max_tokens)
+
+        # --- morphology tables ---
+        if use_hierarchical and texts:
+            self.morphology = morphology.analyze_corpus(texts)
+        else:
+            self.morphology = morphology.MorphologyTables()
+        mk, ms, wk, ws = self.morphology.hash_tables()
+
+        # --- device state ---
+        max_v = self.max_vocab_size
+        t_hash = np.zeros((max_v, 2), np.uint32)
+        b_len = np.zeros((max_v,), np.int32)
+        vflag = np.zeros((max_v,), np.bool_)
+        for idx, tok in enumerate(self.vocab):
+            h1, h2 = scoring.hash_string(tok)
+            t_hash[idx] = (h1, h2)
+            b_len[idx] = len(tok.encode("utf-8"))
+            vflag[idx] = morphology.has_vowel(tok)
+
+        self.enh_state = E.EnhancedState(
+            base=self.state,
+            key=jax.random.PRNGKey(seed),
+            phase=jnp.asarray(1, jnp.int32),
+            corpus=corpus_ids,
+            corpus_synced=jnp.asarray(0, jnp.int32),
+            pair_keys=jnp.full((self.enh_config.freq_table_size,),
+                               np.uint32(0xFFFFFFFF), jnp.uint32),
+            pair_counts=jnp.zeros((self.enh_config.freq_table_size,), jnp.int32),
+            max_pair_count=jnp.asarray(0, jnp.int32),
+            sp_dist=jnp.full((self.enh_config.freq_table_size,), np.inf,
+                             jnp.float32),
+            sp_score=jnp.full((self.enh_config.freq_table_size, 3), -np.inf,
+                              jnp.float32),
+            sp_consumed=jnp.zeros((self.enh_config.freq_table_size,),
+                                  jnp.bool_),
+            token_hash=jnp.asarray(t_hash),
+            byte_lengths=jnp.asarray(b_len),
+            has_vowel=jnp.asarray(vflag),
+            hash_powers=scoring.hash_powers(),
+            morph_table=jnp.asarray(mk),
+            morph_size=jnp.asarray(ms, jnp.int32),
+            word_table=jnp.asarray(wk),
+            word_size=jnp.asarray(ws, jnp.int32),
+            curv_m=jnp.asarray(0.0, jnp.float32),
+            curv_v=jnp.asarray(0.0, jnp.float32),
+            curv_t=jnp.asarray(0, jnp.int32),
+        )
+        if use_hierarchical:
+            # Phase-1 threshold applies from the start (enhanced_…:1046-1049).
+            self.enh_state = self.enh_state.replace(
+                base=self.enh_state.base.replace(
+                    threshold=jnp.asarray(
+                        self.enh_config.phase_thresholds[0], jnp.float32)))
+
+    # ------------------------------------------------------------------ setup
+    def _encode_initial_corpus(self, texts: List[str],
+                               corpus_max_tokens: int) -> jax.Array:
+        t2i = self.token2idx
+        unk = t2i.get("<unk>", 3)
+        sep = int(scoring.SEP_ID)
+        ids: List[int] = []
+        for text in texts:
+            ids.extend(t2i.get(ch, unk) for ch in text)
+            ids.append(sep)  # no cross-line pairs (frequency_aware_…:92-112)
+            if len(ids) >= corpus_max_tokens:
+                break
+        ids = ids[:corpus_max_tokens]
+        arr = np.full((corpus_max_tokens,), int(scoring.PAD_ID), np.int32)
+        arr[:len(ids)] = ids
+        return jnp.asarray(arr)
+
+    # ---------------------------------------------------------------- training
+    def register_callback(self, fn: Callable[[Dict], None]) -> None:
+        """Per-chunk progress callback (the API the reference's enhanced
+        training script calls but the reference never implemented —
+        SURVEY §2.5)."""
+        self.callbacks.append(fn)
+
+    def _sync_merges_from_device(self) -> int:
+        self.state = self.enh_state.base
+        return super()._sync_merges_from_device()
+
+    def optimize_merges(self, steps: int = 10_000, log_every: int = 1000,
+                        target_vocab_size: Optional[int] = None,
+                        corpus_sample: Optional[List[str]] = None,
+                        adaptive_threshold: bool = True,
+                        phase_transition_steps: Optional[Dict[int, int]] = None,
+                        **_compat) -> None:
+        if corpus_sample:
+            self.corpus_sample = corpus_sample
+        if phase_transition_steps:
+            self.enh_config = self.enh_config.replace(
+                phase2_step=phase_transition_steps.get(2, 1000),
+                phase3_step=phase_transition_steps.get(3, 6000))
+        if not adaptive_threshold:
+            self.enh_config = self.enh_config.replace(
+                base=self.enh_config.base.replace(adaptive_threshold=False))
+        done = 0
+        while done < steps:
+            if target_vocab_size is not None and \
+                    len(self.vocab) >= target_vocab_size:
+                logger.info("Reached target vocab size %d", target_vocab_size)
+                break
+            chunk = min(log_every, steps - done)
+            t0 = time.perf_counter()
+            self.enh_state = E.run_enhanced(self.enh_state, self.enh_config,
+                                            chunk)
+            new = self._sync_merges_from_device()
+            dt = time.perf_counter() - t0
+            done += chunk
+            self.current_phase = int(self.enh_state.phase)
+            stat = {
+                "step": int(self.state.step),
+                "vocab_size": len(self.vocab),
+                "merges": len(self.merge_history),
+                "threshold": float(self.state.threshold),
+                "curvature": float(self.state.curvature),
+                "phase": self.current_phase,
+                "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
+            }
+            self.training_stats.append(stat)
+            logger.info("step %(step)d: vocab=%(vocab_size)d phase=%(phase)d "
+                        "c=%(curvature).4f thr=%(threshold).5f "
+                        "%(steps_per_sec).1f steps/s", stat)
+            for cb in self.callbacks:
+                cb(stat)
+            if bool(self.state.stopped):
+                logger.info("No more merge candidates found. Stopping.")
+                break
+        self.merge_threshold = float(self.state.threshold)
+        self.curvature = float(self.state.curvature)
+
+    # ----------------------------------------------------------------- persist
+    @property
+    def pair_frequencies(self) -> Dict:
+        """String-keyed pair-frequency snapshot (reference surface,
+        frequency_aware_…:92-112). Materialised from the device table."""
+        keys = np.asarray(self.enh_state.pair_keys)
+        counts = np.asarray(self.enh_state.pair_counts)
+        max_v = self.max_vocab_size
+        out = {}
+        for k, c in zip(keys, counts):
+            if k == 0xFFFFFFFF or c == 0:
+                continue
+            a, b = int(k) // max_v, int(k) % max_v
+            if a < len(self.vocab) and b < len(self.vocab):
+                out[(self.vocab[a], self.vocab[b])] = int(c)
+        return out
+
+    def save(self, path: str) -> None:
+        super().save(path)
+        cfg = self.enh_config
+        enhanced_config = {
+            "use_frequency_aware": cfg.use_frequency,
+            "use_hierarchical": cfg.use_hierarchical,
+            "use_adaptive_curvature": cfg.use_adaptive_curvature,
+            "use_compression_aware": cfg.use_compression,
+            "alpha": cfg.alpha, "beta": cfg.beta, "gamma": cfg.gamma,
+            "compression_weight": cfg.compression_weight,
+            "curvature_lr": cfg.curvature_lr,
+            "hierarchy_weight": cfg.hierarchy_weight,
+            "distortion_weight": cfg.distortion_weight,
+            "optimize_curvature_freq": cfg.curvature_freq,
+            "current_phase": self.current_phase,
+            "curvature": float(self.state.curvature),
+            "language": self.language,
+        }
+        with open(os.path.join(path, "enhanced_config.json"), "w") as f:
+            json.dump(enhanced_config, f)
+        if cfg.use_frequency:
+            freqs = {f"{a}␟{b}": c
+                     for (a, b), c in self.pair_frequencies.items()}
+            with open(os.path.join(path, "frequencies.json"), "w") as f:
+                json.dump(freqs, f)
+            with open(os.path.join(path, "freq_hyperparams.json"), "w") as f:
+                json.dump({"alpha": cfg.alpha, "beta": cfg.beta,
+                           "gamma": cfg.gamma}, f)
+        if cfg.use_hierarchical:
+            with open(os.path.join(path, "hierarchical_data.json"), "w") as f:
+                json.dump({
+                    "common_morphemes": sorted(self.morphology.common_morphemes),
+                    "common_words": sorted(self.morphology.common_words),
+                    "current_phase": self.current_phase,
+                }, f)
+        if cfg.use_adaptive_curvature:
+            np.save(os.path.join(path, "curvature.npy"),
+                    np.asarray(self.state.curvature))
+            np.save(os.path.join(path, "merge_pairs.npy"),
+                    np.asarray(self.state.merges[: int(self.state.num_merges)]))
+
+
+class FrequencyAwareHyperbolicTokenizer(EnhancedHyperbolicTokenizer):
+    """Frequency-scored merges only (reference frequency_aware_…:29-396)."""
+
+    def __init__(self, vocab, embeddings, alpha: float = 0.4, beta: float = 0.4,
+                 gamma: float = 0.2, **kw):
+        kw.setdefault("use_hierarchical", False)
+        kw.setdefault("use_adaptive_curvature", False)
+        kw.setdefault("use_compression_aware", False)
+        super().__init__(vocab, embeddings, use_frequency_aware=True,
+                         alpha=alpha, beta=beta, gamma=gamma, **kw)
+
+
+class HierarchicalHyperbolicTokenizer(EnhancedHyperbolicTokenizer):
+    """3-phase curriculum merges (reference hierarchical_…:41-513)."""
+
+    def __init__(self, vocab, embeddings, **kw):
+        kw.setdefault("use_frequency_aware", False)
+        kw.setdefault("use_adaptive_curvature", False)
+        kw.setdefault("use_compression_aware", False)
+        super().__init__(vocab, embeddings, use_hierarchical=True, **kw)
+
+    def _is_potential_morpheme(self, token: str) -> bool:
+        return self.morphology.is_potential_morpheme(token)
+
+    def _is_valid_word(self, token: str) -> bool:
+        return self.morphology.is_valid_word(token)
+
+
+class AdaptiveCurvatureTokenizer(EnhancedHyperbolicTokenizer):
+    """Trainable-curvature merges (reference adaptive_curvature_…:31-437)."""
+
+    def __init__(self, vocab, embeddings, curvature_lr: float = 0.01,
+                 hierarchy_weight: float = 1.0, distortion_weight: float = 0.1,
+                 optimize_curvature_freq: int = 100, **kw):
+        kw.setdefault("use_frequency_aware", False)
+        kw.setdefault("use_hierarchical", False)
+        kw.setdefault("use_compression_aware", False)
+        super().__init__(vocab, embeddings, use_adaptive_curvature=True,
+                         curvature_lr=curvature_lr,
+                         hierarchy_weight=hierarchy_weight,
+                         distortion_weight=distortion_weight,
+                         optimize_curvature_freq=optimize_curvature_freq, **kw)
+
+
+class CompressionAwareTokenizer(EnhancedHyperbolicTokenizer):
+    """Compression-gain-scored merges (reference compression_aware_…:28-340)."""
+
+    def __init__(self, vocab, embeddings, compression_weight: float = 0.7,
+                 **kw):
+        kw.setdefault("use_frequency_aware", False)
+        kw.setdefault("use_hierarchical", False)
+        kw.setdefault("use_adaptive_curvature", False)
+        super().__init__(vocab, embeddings, use_compression_aware=True,
+                         compression_weight=compression_weight, **kw)
+
+
+# Reference name-parity alias.
+EnhancedFastHyperbolicTokenizer = EnhancedHyperbolicTokenizer

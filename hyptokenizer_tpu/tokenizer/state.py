@@ -144,8 +144,17 @@ def _do_merge(state: MergeState, config: MergeConfig) -> MergeState:
     i = jnp.argmin(state.best_dist).astype(jnp.int32)
     d = state.best_dist[i]
     j = state.best_j[i]
-    new_idx = state.vocab_size
+    return merge_pair(state, i, j, d)
 
+
+def merge_pair(state: MergeState, i: jax.Array, j: jax.Array,
+               d: jax.Array) -> MergeState:
+    """Merge the chosen pair (i, j) (distance ``d``) and update candidates.
+
+    Shared by the distance-only loop (which picks the global argmin) and the
+    enhanced scored loop (which picks by combined feature score).
+    """
+    new_idx = state.vocab_size
     emb, lengths = midpoint_insert(state.emb, state.lengths, i, j, new_idx,
                                    state.curvature)
     merges = state.merges.at[state.num_merges].set(

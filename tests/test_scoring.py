@@ -1,0 +1,98 @@
+"""Unit tests for the device-side scoring primitives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyptokenizer_tpu.tokenizer import scoring as S
+
+
+def test_apply_merge_simple():
+    c = jnp.asarray([1, 2, 3, 1, 2, 5], jnp.int32)
+    out = np.asarray(S.apply_merge_to_corpus(c, 1, 2, 9))
+    np.testing.assert_array_equal(out, [9, -1, 3, 9, -1, 5])
+
+
+def test_apply_merge_overlapping_run():
+    # aaaa with (a,a)->x : greedy left-to-right gives x x (positions 0,2).
+    c = jnp.asarray([4, 4, 4, 4], jnp.int32)
+    out = np.asarray(S.apply_merge_to_corpus(c, 4, 4, 9))
+    np.testing.assert_array_equal(out, [9, -1, 9, -1])
+    # aaa -> x a
+    c = jnp.asarray([4, 4, 4], jnp.int32)
+    out = np.asarray(S.apply_merge_to_corpus(c, 4, 4, 9))
+    np.testing.assert_array_equal(out, [9, -1, 4])
+
+
+def test_compact_corpus():
+    c = jnp.asarray([9, -1, 3, -1, -1, 5], jnp.int32)
+    out = np.asarray(S.compact_corpus(c))
+    np.testing.assert_array_equal(out, [9, 3, 5, -1, -1, -1])
+
+
+def test_replay_matches_python_tokenizer():
+    """Replaying merges on the id corpus == applying rules to the string."""
+    from hyptokenizer_tpu.tokenizer.encode import Encoder
+    vocab = ["a", "b", "c", "ab", "abc", "<unk>"]
+    merges = [("a", "b", "ab"), ("ab", "c", "abc")]
+    enc = Encoder(vocab, merges)
+    text = "abcabbcaabc"
+    # Initial char ids:
+    ids0 = [vocab.index(ch) for ch in text]
+    corpus = jnp.asarray(ids0 + [-1] * 5, jnp.int32)
+    pairs = jnp.asarray([[0, 1], [3, 2]], jnp.int32)
+    # merge k creates token id n_init + k with n_init=3 ("ab"=3, "abc"=4)
+    out = S.replay_merges_on_corpus(corpus, pairs, 3, jnp.asarray(2))
+    got = [int(x) for x in np.asarray(out) if x != -1]
+    want = enc.encode_py(text)
+    assert got == want
+
+
+def test_pair_table_counts():
+    c = jnp.asarray([1, 2, 1, 2, 2, 1, -1, -1], jnp.int32)
+    keys, counts, n_unique, max_count = S.build_pair_table(c, 10, 16)
+    # pairs: (1,2) x2, (2,1) x2, (2,2) x1  — (1,-1) invalid
+    lk = S.lookup_pair_counts(
+        jnp.asarray([1 * 10 + 2, 2 * 10 + 1, 2 * 10 + 2, 3 * 10 + 3],
+                    jnp.uint32), keys, counts)
+    np.testing.assert_array_equal(np.asarray(lk), [2, 2, 1, 0])
+    assert int(n_unique) == 3
+    assert int(max_count) == 2
+
+
+def test_hash_compose_matches_host():
+    powers = S.hash_powers()
+    for a, b in [("ab", "cd"), ("x", "yz"), ("hello", "world"), ("", "ab")]:
+        ha = S.hash_string(a)
+        hb = S.hash_string(b)
+        hc = S.hash_string(a + b)
+        dev = S.compose_hash(
+            jnp.asarray([ha], jnp.uint32), jnp.asarray([hb], jnp.uint32),
+            jnp.asarray([len(b.encode())], jnp.int32), powers)
+        assert (int(dev[0, 0]), int(dev[0, 1])) == hc, (a, b)
+
+
+def test_in_sorted_set():
+    from hyptokenizer_tpu.utils.morphology import MorphologyTables
+    t = MorphologyTables(morph_set={"ing", "ed", "pre"}, word_set={"dog"})
+    mk, ms, wk, ws = t.hash_tables()
+    keys = []
+    for s in ["ing", "dog", "zzz"]:
+        h1, h2 = S.hash_string(s)
+        keys.append(h1 * 65536 + h2)
+    keys = jnp.asarray(keys, jnp.uint32)
+    got = np.asarray(S.in_sorted_set(keys, jnp.asarray(mk), jnp.asarray(ms)))
+    np.testing.assert_array_equal(got, [True, False, False])
+    got_w = np.asarray(S.in_sorted_set(keys, jnp.asarray(wk), jnp.asarray(ws)))
+    np.testing.assert_array_equal(got_w, [False, True, False])
+
+
+def test_morphology_analysis():
+    from hyptokenizer_tpu.utils import morphology
+    lines = ["the walking dog was walking quickly",
+             "walking dogs walk and walk the walking walk"] * 10
+    t = morphology.analyze_corpus(lines, use_wordnet=False)
+    assert t.is_potential_morpheme("ing")        # common suffix list
+    assert t.is_valid_word("walking")            # frequent word
+    assert t.is_valid_word("cat")                # vowel fallback, len>=3
+    assert not t.is_valid_word("zz")             # no vowel, short
