@@ -19,10 +19,26 @@ import ctypes
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
-_NATIVE_PATH = os.path.join(
+_NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "libfast_encode.so",
+    "native",
 )
+_NATIVE_PATH = os.path.join(_NATIVE_DIR, "libfast_encode.so")
+
+
+def ensure_native_built() -> bool:
+    """Build the C++ encoder on demand (make -C native); False on failure."""
+    if os.path.exists(_NATIVE_PATH):
+        return True
+    if not os.path.exists(os.path.join(_NATIVE_DIR, "fast_encode.cpp")):
+        return False
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(_NATIVE_PATH)
 
 UNK_TOKEN = "<unk>"
 UNK_FALLBACK_ID = 3  # reference hyperbolic_merge.py:459
@@ -111,7 +127,7 @@ class Encoder:
         self.unk_id = self.token2idx.get(UNK_TOKEN, UNK_FALLBACK_ID)
         self._native = None
         if use_native is None:
-            use_native = os.path.exists(_NATIVE_PATH)
+            use_native = ensure_native_built()
         if use_native:
             try:
                 native = _NativeEncoder(_NATIVE_PATH)

@@ -1,0 +1,78 @@
+"""Native (C++) encoder vs python reference-semantics path: fuzz conformance."""
+
+import random
+import string
+
+import pytest
+
+from hyptokenizer_tpu.tokenizer.encode import Encoder, ensure_native_built
+
+pytestmark = pytest.mark.skipif(not ensure_native_built(),
+                                reason="native encoder not built")
+
+
+def build_random_tokenizer(rng, n_chars=8, n_merges=30):
+    chars = list(string.ascii_lowercase[:n_chars]) + [" "]
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + chars
+    merges = []
+    for _ in range(n_merges):
+        a = rng.choice(vocab[4:])
+        b = rng.choice(vocab[4:])
+        m = a + b
+        merges.append((a, b, m))
+        vocab.append(m)
+    return vocab, merges
+
+
+def test_fuzz_native_matches_python():
+    rng = random.Random(7)
+    for trial in range(15):
+        vocab, merges = build_random_tokenizer(rng)
+        enc = Encoder(vocab, merges, use_native=True)
+        assert enc.native_available
+        for _ in range(20):
+            n = rng.randint(0, 60)
+            text = "".join(rng.choice("abcdefgh xyz") for _ in range(n))
+            assert enc.encode(text) == enc.encode_py(text), (trial, text)
+
+
+def test_native_unicode():
+    vocab = ["<unk>", "é", "ü", "éü", "a"]
+    enc = Encoder(vocab, [("é", "ü", "éü")], use_native=True)
+    assert enc.native_available
+    assert enc.encode("éüa") == enc.encode_py("éüa") == [3, 4]
+    # Unknown multi-byte codepoints -> unk, one per codepoint.
+    assert enc.encode("日本") == enc.encode_py("日本") == [0, 0]
+
+
+def test_native_multipass_semantics():
+    """The case where multi-pass differs from single-pass backtracking:
+    rules (b,c)->bc, (a,bc)->abc, (bc,d)->bcd on "abcd" must give [a, bcd]."""
+    vocab = ["a", "b", "c", "d", "bc", "abc", "bcd", "<unk>"]
+    merges = [("b", "c", "bc"), ("a", "bc", "abc"), ("bc", "d", "bcd")]
+    enc = Encoder(vocab, merges, use_native=True)
+    assert enc.tokenize("abcd") == ["a", "bcd"]
+    assert enc.encode("abcd") == enc.encode_py("abcd") == [0, 6]
+
+
+def test_native_empty_and_long():
+    vocab = ["a", "b", "ab", "<unk>"]
+    enc = Encoder(vocab, [("a", "b", "ab")], use_native=True)
+    assert enc.encode("") == []
+    ids = enc.encode("ab" * 50_000)
+    assert ids == [2] * 50_000
+
+
+def test_native_throughput_exceeds_python():
+    import time
+    vocab, merges = build_random_tokenizer(random.Random(1), n_merges=100)
+    enc = Encoder(vocab, merges, use_native=True)
+    text = "".join(random.Random(2).choice("abcdefgh ") for _ in range(200_000))
+    t0 = time.perf_counter()
+    ids_n = enc.encode(text)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ids_p = enc.encode_py(text)
+    t_py = time.perf_counter() - t0
+    assert ids_n == ids_p
+    assert t_native < t_py  # typically 30-100x faster
