@@ -1,0 +1,81 @@
+"""Train the enhanced (all-features) hyperbolic tokenizer.
+
+The *working* version of the reference's broken enhanced training script
+(scripts/train_enhanced_hyperbolic_tokenizer.py — wrong kwargs, nonexistent
+callbacks/target_vocab_size API; SURVEY §2.5). All intended features exist
+here: feature flags, callbacks, target vocab size, phase transitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from hyptokenizer_tpu.cli._common import (
+    add_common_tokenizer_args, load_or_build_vocab, set_seeds, setup_logging,
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_tokenizer_args(p)
+    ba = argparse.BooleanOptionalAction
+    p.add_argument("--use-frequency-aware", action=ba, default=True)
+    p.add_argument("--use-hierarchical", action=ba, default=True)
+    p.add_argument("--use-adaptive-curvature", action=ba, default=True)
+    p.add_argument("--use-compression-aware", action=ba, default=True)
+    p.add_argument("--alpha", type=float, default=0.4)
+    p.add_argument("--beta", type=float, default=0.4)
+    p.add_argument("--gamma", type=float, default=0.2)
+    p.add_argument("--compression-weight", type=float, default=0.7)
+    p.add_argument("--curvature-lr", type=float, default=0.01)
+    p.add_argument("--hierarchy-weight", type=float, default=1.0)
+    p.add_argument("--distortion-weight", type=float, default=0.1)
+    p.add_argument("--optimize-curvature-freq", type=int, default=100)
+    p.add_argument("--phase2-step", type=int, default=1000)
+    p.add_argument("--phase3-step", type=int, default=6000)
+    p.add_argument("--corpus-max-tokens", type=int, default=1 << 21)
+    args = p.parse_args(argv)
+
+    setup_logging()
+    set_seeds(args.seed)
+
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.utils import data
+
+    vocab = load_or_build_vocab(args.vocab_path, args.corpus_path)
+    emb = data.initialize_embeddings(len(vocab), args.embedding_dim,
+                                     args.curvature, args.init_sigma,
+                                     args.seed)
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb, curvature=args.curvature,
+        merge_threshold=args.merge_threshold,
+        max_vocab_size=args.max_vocab_size,
+        use_frequency_aware=args.use_frequency_aware,
+        use_hierarchical=args.use_hierarchical,
+        use_adaptive_curvature=args.use_adaptive_curvature,
+        use_compression_aware=args.use_compression_aware,
+        corpus_path=args.corpus_path,
+        alpha=args.alpha, beta=args.beta, gamma=args.gamma,
+        compression_weight=args.compression_weight,
+        curvature_lr=args.curvature_lr,
+        hierarchy_weight=args.hierarchy_weight,
+        distortion_weight=args.distortion_weight,
+        optimize_curvature_freq=args.optimize_curvature_freq,
+        corpus_max_tokens=args.corpus_max_tokens,
+        seed=args.seed,
+    )
+    tok.optimize_merges(
+        steps=args.steps, log_every=args.log_every,
+        target_vocab_size=args.target_vocab_size,
+        phase_transition_steps={2: args.phase2_step, 3: args.phase3_step},
+    )
+    tok.save(args.output_dir)
+    print(f"saved enhanced tokenizer with {tok.current_vocab_size} tokens "
+          f"(phase {tok.current_phase}, c={tok.curvature:.4f}) to "
+          f"{args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
