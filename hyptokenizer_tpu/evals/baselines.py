@@ -1,0 +1,133 @@
+"""Baseline tokenizer training (BPE / WordPiece / Unigram / char-level).
+
+Capability parity with ``scripts/train_baseline_tokenizers.py:70-568``: each
+baseline uses the HF ``tokenizers`` (Rust) library with an
+NFD+Lowercase+StripAccents normalizer, Whitespace pre-tokenizer and a CLS/SEP
+template post-processor; the char-level baseline injects its vocab directly.
+Baselines exist for *comparison* — the framework's own path is first-party
+(SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+SPECIALS = ["[UNK]", "[CLS]", "[SEP]", "[PAD]", "[MASK]"]
+
+
+def _base_tokenizer(model):
+    from tokenizers import Tokenizer, normalizers, pre_tokenizers
+    tok = Tokenizer(model)
+    tok.normalizer = normalizers.Sequence([
+        normalizers.NFD(), normalizers.Lowercase(), normalizers.StripAccents()])
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    return tok
+
+
+def _add_template(tok):
+    from tokenizers import processors
+    tok.post_processor = processors.TemplateProcessing(
+        single="[CLS] $A [SEP]",
+        pair="[CLS] $A [SEP] $B [SEP]",
+        special_tokens=[("[CLS]", tok.token_to_id("[CLS]")),
+                        ("[SEP]", tok.token_to_id("[SEP]"))],
+    )
+
+
+def train_bpe(files: List[str], vocab_size: int):
+    from tokenizers import models, trainers
+    tok = _base_tokenizer(models.BPE(unk_token="[UNK]"))
+    trainer = trainers.BpeTrainer(vocab_size=vocab_size,
+                                  special_tokens=SPECIALS)
+    tok.train(files, trainer)
+    _add_template(tok)
+    return tok
+
+
+def train_wordpiece(files: List[str], vocab_size: int):
+    from tokenizers import models, trainers
+    tok = _base_tokenizer(models.WordPiece(unk_token="[UNK]"))
+    trainer = trainers.WordPieceTrainer(vocab_size=vocab_size,
+                                        special_tokens=SPECIALS)
+    tok.train(files, trainer)
+    _add_template(tok)
+    return tok
+
+
+def train_unigram(files: List[str], vocab_size: int):
+    from tokenizers import models, trainers
+    tok = _base_tokenizer(models.Unigram())
+    trainer = trainers.UnigramTrainer(vocab_size=vocab_size,
+                                      special_tokens=SPECIALS,
+                                      unk_token="[UNK]")
+    tok.train(files, trainer)
+    _add_template(tok)
+    return tok
+
+
+def train_char_level(files: List[str], vocab_size: int = 0):
+    """Char-level baseline via direct vocab injection
+    (train_baseline_tokenizers.py:367-462)."""
+    from tokenizers import Tokenizer, models
+    chars = set()
+    for path in files:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                chars.update(line.strip().lower())
+    vocab = {tok: i for i, tok in enumerate(SPECIALS)}
+    for ch in sorted(chars):
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab=vocab, unk_token="[UNK]"))
+    from tokenizers import pre_tokenizers
+    # Split into single chars via a regex pre-tokenizer.
+    tok.pre_tokenizer = pre_tokenizers.Split("", "isolated")
+    return tok
+
+
+TRAINERS = {
+    "bpe": train_bpe,
+    "wordpiece": train_wordpiece,
+    "unigram": train_unigram,
+    "char": train_char_level,
+}
+
+
+def train_all_baselines(files: List[str], output_dir: str,
+                        vocab_sizes: Iterable[int] = (10_000, 20_000, 50_000),
+                        kinds: Iterable[str] = ("bpe", "wordpiece", "unigram",
+                                                "char")) -> Dict[str, Dict]:
+    """Grid over tokenizer kinds x vocab sizes with per-tokenizer stats JSON
+    (train_baseline_tokenizers.py:514-568)."""
+    os.makedirs(output_dir, exist_ok=True)
+    results = {}
+    sample = []
+    with open(files[0], encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            sample.append(line.strip())
+            if i >= 200:
+                break
+    for kind in kinds:
+        sizes = [0] if kind == "char" else vocab_sizes
+        for vs in sizes:
+            name = f"{kind}_{vs}" if kind != "char" else "char"
+            t0 = time.perf_counter()
+            tok = TRAINERS[kind](files, vs)
+            train_time = time.perf_counter() - t0
+            path = os.path.join(output_dir, f"{name}.json")
+            tok.save(path)
+            n_tokens = sum(len(tok.encode(s).tokens) for s in sample if s)
+            n_chars = sum(len(s) for s in sample)
+            results[name] = {
+                "vocab_size": tok.get_vocab_size(),
+                "training_time_sec": train_time,
+                "avg_tokens_per_line": n_tokens / max(len(sample), 1),
+                "chars_per_token": n_chars / max(n_tokens, 1),
+                "path": path,
+            }
+    with open(os.path.join(output_dir, "baseline_stats.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
