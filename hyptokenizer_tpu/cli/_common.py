@@ -40,6 +40,39 @@ def add_common_tokenizer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--init-sigma", type=float, default=0.01)
+    p.add_argument("--embed-steps", type=int, default=0,
+                   help="RSGD co-occurrence pretraining steps for the initial "
+                        "embeddings (0 = random init, the reference's only "
+                        "mode)")
+    p.add_argument("--embed-lr", type=float, default=0.3)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="mid-training checkpoint directory")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint every N chunks (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint-dir")
+
+
+def maybe_pretrain_embeddings(args, vocab, emb):
+    """RSGD co-occurrence pretraining when --embed-steps > 0."""
+    if not args.embed_steps:
+        return emb
+    if not args.corpus_path:
+        raise SystemExit("--embed-steps requires --corpus-path")
+    import jax
+    import jax.numpy as jnp
+    from hyptokenizer_tpu.tokenizer.embed_train import train_embeddings
+    from hyptokenizer_tpu.utils import data
+    with data.open_text(args.corpus_path) as f:
+        corpus = data.encode_corpus_chars(f, vocab, max_tokens=1 << 21)
+    emb2, losses = train_embeddings(
+        jnp.asarray(emb), jnp.asarray(corpus), len(vocab),
+        jax.random.PRNGKey(args.seed), steps=args.embed_steps,
+        lr=args.embed_lr)
+    logging.getLogger(__name__).info(
+        "embedding pretraining: loss %.4f -> %.4f",
+        float(losses[:10].mean()), float(losses[-10:].mean()))
+    return emb2
 
 
 def load_or_build_vocab(vocab_path: Optional[str], corpus_path: Optional[str],

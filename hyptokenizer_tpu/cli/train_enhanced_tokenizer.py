@@ -13,7 +13,8 @@ import json
 import os
 
 from hyptokenizer_tpu.cli._common import (
-    add_common_tokenizer_args, load_or_build_vocab, set_seeds, setup_logging,
+    add_common_tokenizer_args, load_or_build_vocab, maybe_pretrain_embeddings,
+    set_seeds, setup_logging,
 )
 
 
@@ -48,6 +49,7 @@ def main(argv=None):
     emb = data.initialize_embeddings(len(vocab), args.embedding_dim,
                                      args.curvature, args.init_sigma,
                                      args.seed)
+    emb = maybe_pretrain_embeddings(args, vocab, emb)
     tok = EnhancedHyperbolicTokenizer(
         vocab, emb, curvature=args.curvature,
         merge_threshold=args.merge_threshold,
@@ -66,6 +68,19 @@ def main(argv=None):
         corpus_max_tokens=args.corpus_max_tokens,
         seed=args.seed,
     )
+    if args.resume and args.checkpoint_dir:
+        from hyptokenizer_tpu.utils.checkpoint import restore_checkpoint
+        restore_checkpoint(args.checkpoint_dir, tok)
+    if args.checkpoint_dir and args.checkpoint_every:
+        from hyptokenizer_tpu.utils.checkpoint import save_checkpoint
+        counter = {"n": 0}
+
+        def _ckpt_cb(stat):
+            counter["n"] += 1
+            if counter["n"] % args.checkpoint_every == 0:
+                save_checkpoint(args.checkpoint_dir, tok)
+
+        tok.register_callback(_ckpt_cb)
     tok.optimize_merges(
         steps=args.steps, log_every=args.log_every,
         target_vocab_size=args.target_vocab_size,

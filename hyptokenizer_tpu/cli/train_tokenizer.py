@@ -11,7 +11,8 @@ import json
 import os
 
 from hyptokenizer_tpu.cli._common import (
-    add_common_tokenizer_args, load_or_build_vocab, set_seeds, setup_logging,
+    add_common_tokenizer_args, load_or_build_vocab, maybe_pretrain_embeddings,
+    set_seeds, setup_logging,
 )
 
 
@@ -34,16 +35,30 @@ def main(argv=None):
     emb = data.initialize_embeddings(len(vocab), args.embedding_dim,
                                      args.curvature, args.init_sigma,
                                      args.seed)
+    emb = maybe_pretrain_embeddings(args, vocab, emb)
     tok = HyperbolicTokenizer(
         vocab, emb, curvature=args.curvature,
         merge_threshold=args.merge_threshold,
         max_vocab_size=args.max_vocab_size,
         adaptive_threshold=args.adaptive_threshold,
     )
+    if args.resume and args.checkpoint_dir:
+        from hyptokenizer_tpu.utils.checkpoint import restore_checkpoint
+        restore_checkpoint(args.checkpoint_dir, tok)
     steps = args.steps
     if args.target_vocab_size is not None:
         steps = min(steps, max(0, args.target_vocab_size - len(vocab)))
-    tok.optimize_merges(steps=steps, log_every=args.log_every)
+    done = 0
+    chunk_i = 0
+    while done < steps and not bool(tok.state.stopped):
+        chunk = min(args.log_every, steps - done)
+        tok.optimize_merges(steps=chunk, log_every=chunk)
+        done += chunk
+        chunk_i += 1
+        if args.checkpoint_dir and args.checkpoint_every and \
+                chunk_i % args.checkpoint_every == 0:
+            from hyptokenizer_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(args.checkpoint_dir, tok)
     tok.save(args.output_dir)
     with open(os.path.join(args.output_dir, "training_stats.json"), "w") as f:
         json.dump(tok.training_stats, f)

@@ -184,19 +184,12 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
     # ------------------------------------------------------------------ setup
     def _encode_initial_corpus(self, texts: List[str],
                                corpus_max_tokens: int) -> jax.Array:
-        t2i = self.token2idx
-        unk = t2i.get("<unk>", 3)
-        sep = int(scoring.SEP_ID)
-        ids: List[int] = []
-        for text in texts:
-            ids.extend(t2i.get(ch, unk) for ch in text)
-            ids.append(sep)  # no cross-line pairs (frequency_aware_…:92-112)
-            if len(ids) >= corpus_max_tokens:
-                break
-        ids = ids[:corpus_max_tokens]
-        arr = np.full((corpus_max_tokens,), int(scoring.PAD_ID), np.int32)
-        arr[:len(ids)] = ids
-        return jnp.asarray(arr)
+        from hyptokenizer_tpu.utils import data
+        # SEP between lines: no cross-line pairs (frequency_aware_…:92-112).
+        return jnp.asarray(data.encode_corpus_chars(
+            texts, self.vocab, corpus_max_tokens,
+            unk_id=self.token2idx.get("<unk>", 3),
+            sep_id=int(scoring.SEP_ID), pad_id=int(scoring.PAD_ID)))
 
     # ---------------------------------------------------------------- training
     def register_callback(self, fn: Callable[[Dict], None]) -> None:

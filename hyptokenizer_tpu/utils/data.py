@@ -87,6 +87,30 @@ def save_vocab(vocab: List[str], path: str) -> None:
             f.write(tok + "\n")
 
 
+def encode_corpus_chars(texts: Iterable[str], vocab: List[str],
+                        max_tokens: int, unk_id: int = 3,
+                        sep_id: int = -2, pad_id: int = -1) -> np.ndarray:
+    """Char-encode lines into a fixed-size id array with SEP between lines.
+
+    The shared corpus representation of the enhanced scorer and the RSGD
+    embedding trainer (PAD=-1 tail, SEP=-2 line separators; see
+    tokenizer/scoring.py).
+    """
+    t2i = {}
+    for i, t in enumerate(vocab):
+        t2i.setdefault(t, i)
+    ids: List[int] = []
+    for text in texts:
+        ids.extend(t2i.get(ch, unk_id) for ch in text)
+        ids.append(sep_id)
+        if len(ids) >= max_tokens:
+            break
+    ids = ids[:max_tokens]
+    arr = np.full((max_tokens,), pad_id, np.int32)
+    arr[:len(ids)] = ids
+    return arr
+
+
 def initialize_embeddings(n: int, dim: int, curvature: float = 1.0,
                           sigma: float = 0.01, seed: int = 42) -> np.ndarray:
     """Tangent-Gaussian init at the origin -> exp map -> projection.
