@@ -1,0 +1,101 @@
+"""Train downstream NLP tasks (BERT MLM + classification) with a tokenizer.
+
+CLI parity with ``scripts/train_nlp_tasks.py:353-493``. Classification data is
+``label<TAB>text`` lines (Yahoo-Answers-style exports work; the HF dataset
+needs network).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from hyptokenizer_tpu.cli._common import set_seeds, setup_logging
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--method", default="hyperbolic",
+                   choices=["hyperbolic", "bpe", "wordpiece", "unigram",
+                            "char"])
+    p.add_argument("--model-path", required=True,
+                   help="tokenizer dir (hyperbolic) or tokenizer.json")
+    p.add_argument("--task", choices=["mlm", "classification", "both"],
+                   default="both")
+    p.add_argument("--train-text", type=str, default=None,
+                   help="text file for MLM")
+    p.add_argument("--train-cls", type=str, default=None,
+                   help="label<TAB>text file for classification")
+    p.add_argument("--output-dir", type=str, required=True)
+    p.add_argument("--max-length", type=int, default=128)
+    p.add_argument("--hidden-size", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--max-lines", type=int, default=2000)
+    p.add_argument("--use-hyperbolic-embeddings",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    setup_logging()
+    set_seeds(args.seed)
+
+    from hyptokenizer_tpu.models import nlp
+
+    adapter = nlp.TokenizerAdapter(args.method, args.model_path)
+    emb = adapter.get_embeddings() if args.use_hyperbolic_embeddings else None
+    vocab_size = adapter.get_vocab_size()
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = {}
+
+    if args.task in ("mlm", "both"):
+        if not args.train_text:
+            raise SystemExit("--train-text required for MLM")
+        texts = []
+        with open(args.train_text, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    texts.append(line.strip())
+                if len(texts) >= args.max_lines:
+                    break
+        encoded = adapter.batch_encode(texts, max_length=args.max_length)
+        model = nlp.build_bert_mlm(
+            vocab_size, hidden=args.hidden_size, layers=args.num_layers,
+            heads=args.num_heads, seed=args.seed, embeddings=emb)
+        _, ppl = nlp.mlm_train(
+            model, encoded, epochs=args.epochs, batch_size=args.batch_size,
+            max_length=args.max_length, lr=args.lr, seed=args.seed)
+        results["mlm_perplexity"] = ppl
+        print(f"MLM perplexity: {ppl:.2f}")
+
+    if args.task in ("classification", "both") and args.train_cls:
+        texts, labels = [], []
+        with open(args.train_cls, encoding="utf-8") as f:
+            for line in f:
+                lab, _, text = line.rstrip("\n").partition("\t")
+                if text:
+                    labels.append(int(lab))
+                    texts.append(text)
+                if len(texts) >= args.max_lines:
+                    break
+        encoded = adapter.batch_encode(texts, max_length=args.max_length)
+        model = nlp.build_bert_classifier(
+            vocab_size, num_labels=max(labels) + 1, hidden=args.hidden_size,
+            layers=args.num_layers, heads=args.num_heads, seed=args.seed,
+            embeddings=emb)
+        _, acc = nlp.classification_train(
+            model, encoded, labels, epochs=args.epochs,
+            batch_size=args.batch_size, max_length=args.max_length,
+            lr=args.lr, seed=args.seed)
+        results["classification_accuracy"] = acc
+        print(f"classification accuracy: {acc:.3f}")
+
+    with open(os.path.join(args.output_dir, "nlp_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
