@@ -52,6 +52,48 @@ def state_shardings(mesh: Mesh) -> MergeState:
     )
 
 
+def enhanced_state_shardings(mesh: Mesh, st):
+    """EnhancedState-shaped pytree of NamedShardings.
+
+    Row-partitioned: everything aligned with the vocabulary axis (embeddings,
+    candidate arrays, token features) and the corpus stream. Replicated: the
+    pair/morphology tables (sub-MB, read-mostly) and scalars.
+    """
+    from hyptokenizer_tpu.tokenizer.enhanced_state import EnhancedState
+
+    row = NamedSharding(mesh, P(VOCAB_AXIS))
+    rep = NamedSharding(mesh, P())
+    return EnhancedState(
+        base=state_shardings(mesh),
+        key=rep,
+        phase=rep,
+        corpus=row,
+        corpus_synced=rep,
+        pair_keys=rep,
+        pair_counts=rep,
+        max_pair_count=rep,
+        sp_dist=rep,
+        sp_score=rep,
+        sp_consumed=rep,
+        token_hash=NamedSharding(mesh, P(VOCAB_AXIS, None)),
+        byte_lengths=row,
+        has_vowel=row,
+        hash_powers=rep,
+        morph_table=rep,
+        morph_size=rep,
+        word_table=rep,
+        word_size=rep,
+        curv_m=rep,
+        curv_v=rep,
+        curv_t=rep,
+    )
+
+
+def shard_enhanced_state(st, mesh: Mesh):
+    shardings = enhanced_state_shardings(mesh, st)
+    return jax.tree.map(jax.device_put, st, shardings)
+
+
 def shard_state(state: MergeState, mesh: Mesh) -> MergeState:
     """Place an existing state onto the mesh with the canonical shardings.
 

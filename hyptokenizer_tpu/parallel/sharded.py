@@ -31,6 +31,30 @@ def _run(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
     return jax.lax.while_loop(cond, lambda s: state_lib.merge_step(s, config), state)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+                   donate_argnames=("st",))
+def _run_enhanced(st, config, n_steps: int):
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    st = E.sync_corpus(st, config)
+    start = st.base.step
+
+    def cond(s):
+        return (~s.base.stopped) & (s.base.step - start < n_steps)
+
+    return jax.lax.while_loop(cond, lambda s: E.enhanced_step(s, config), st)
+
+
+def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
+    """Sharded chunk of the enhanced scored loop (flagship multi-chip path)."""
+    from hyptokenizer_tpu.parallel.mesh import shard_enhanced_state
+    if st.base.emb.shape[0] % mesh.devices.size != 0:
+        raise ValueError("max_vocab_size not divisible by mesh size")
+    st = shard_enhanced_state(st, mesh)
+    with mesh:
+        out = _run_enhanced(st, config, n_steps)
+    return shard_enhanced_state(out, mesh)
+
+
 def run_merges_sharded(state: MergeState, config: MergeConfig, n_steps: int,
                        mesh: Mesh) -> MergeState:
     """Run ``n_steps`` merge steps with the state sharded over ``mesh``.

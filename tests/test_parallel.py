@@ -81,6 +81,37 @@ def test_graft_entry_smoke():
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
-    jax.block_until_ready(out.emb)
-    assert int(out.step) == 1
+    jax.block_until_ready(out.base.emb)
+    assert int(out.base.step) == 1
     mod.dryrun_multichip(8)
+
+
+def test_enhanced_sharded_equals_single_device():
+    """The flagship scored loop is SPMD-shardable with identical results."""
+    from hyptokenizer_tpu.parallel.sharded import run_enhanced_sharded
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc"] * 6
+
+    def build_tok():
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {ch for l in corpus for ch in l})
+        emb = L.random_points(jax.random.PRNGKey(5), len(vocab), 8, sigma=0.6)
+        return EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=3.0, max_vocab_size=64,
+            search_block=16, corpus_sample=corpus, corpus_max_tokens=256,
+            use_hierarchical=False, use_adaptive_curvature=False, seed=3)
+
+    t1 = build_tok()
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 10)
+
+    t2 = build_tok()
+    mesh = make_mesh()
+    s2 = run_enhanced_sharded(t2.enh_state, t2.enh_config, 10, mesh)
+
+    assert int(s1.base.num_merges) == int(s2.base.num_merges)
+    n = int(s1.base.num_merges)
+    assert n > 2
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
