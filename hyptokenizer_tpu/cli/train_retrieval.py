@@ -18,6 +18,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--captions-tsv", type=str, default=None)
+    p.add_argument("--coco-annotations", type=str, default=None,
+                   help="COCO captions json (e.g. captions_val2014.json)")
+    p.add_argument("--coco-image-dir", type=str, default=None)
     p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--output-dir", type=str, required=True)
     p.add_argument("--epochs", type=int, default=2)
@@ -60,6 +63,22 @@ def main(argv=None):
                                dim=args.tower_dim, depth=args.tower_depth,
                                heads=4),
         projection_dim=args.projection_dim, hidden_dim=args.tower_dim * 2)
+
+    if args.coco_annotations and args.coco_image_dir and not args.captions_tsv:
+        # Flatten COCO captions to the TSV path format (train_retrieval.py's
+        # COCO Dataset wrapper, reference :56-114).
+        with open(args.coco_annotations, encoding="utf-8") as f:
+            coco = json.load(f)
+        id2file = {img["id"]: img["file_name"] for img in coco["images"]}
+        tsv = os.path.join(args.output_dir, "coco_captions.tsv")
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(tsv, "w", encoding="utf-8") as f:
+            for ann in coco["annotations"]:
+                fn = id2file.get(ann["image_id"])
+                if fn:
+                    f.write(os.path.join(args.coco_image_dir, fn) + "\t"
+                            + ann["caption"].replace("\t", " ").strip() + "\n")
+        args.captions_tsv = tsv
 
     if args.synthetic or not args.captions_tsv:
         def batches_fn():

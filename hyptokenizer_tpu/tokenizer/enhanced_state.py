@@ -441,17 +441,11 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     base = st.base
     max_v = base.emb.shape[0]
 
-    def cond(carry):
-        k, _ = carry
-        return k < base.num_merges
-
-    def body(carry):
-        k, c = carry
-        c = scoring.apply_merge_to_corpus(
-            c, base.merges[k, 0], base.merges[k, 1], config.n_init + k)
-        return k + 1, scoring.compact_corpus(c)
-
-    _, corpus = jax.lax.while_loop(cond, body, (st.corpus_synced, st.corpus))
+    # Batched fixpoint replay of the un-synced merge rules (encode()-semantics
+    # leftmost-match; a few O(N) passes instead of one per merge).
+    corpus = scoring.batch_fixpoint_replay(
+        st.corpus, base.merges, st.corpus_synced,
+        base.num_merges - st.corpus_synced, config.n_init, max_v)
     keys, counts, _, max_count = scoring.build_pair_table(
         corpus, max_v, config.freq_table_size)
 

@@ -41,15 +41,23 @@ MAX_HASH_LEN = 4096  # token-length cap for the power tables
 
 
 def hash_powers(max_len: int = MAX_HASH_LEN):
-    """Power tables B^k mod p for both hash primes, shape (2, max_len)."""
+    """Power tables B^k mod p for both hash primes, shape (2, max_len).
+
+    Computed host-side with numpy (it is constant data; tracing a 4096-step
+    scan just to build it costs real compile time).
+    """
+    import numpy as _np
+
     def powers(b, p):
-        def step(acc, _):
-            nxt = (acc * b) % p
-            return nxt, acc
-        _, ps = jax.lax.scan(step, jnp.uint32(1), None, length=max_len)
-        return ps
-    return jnp.stack([powers(jnp.uint32(HASH_B1), jnp.uint32(HASH_P1)),
-                      powers(jnp.uint32(HASH_B2), jnp.uint32(HASH_P2))])
+        out = _np.empty((max_len,), _np.uint32)
+        acc = 1
+        for k in range(max_len):
+            out[k] = acc
+            acc = (acc * b) % p
+        return out
+
+    return jnp.asarray(_np.stack([powers(HASH_B1, HASH_P1),
+                                  powers(HASH_B2, HASH_P2)]))
 
 
 def hash_string(s: str):
@@ -126,6 +134,8 @@ def replay_merges_on_corpus(corpus: jax.Array, pairs: jax.Array,
                             n_init, count) -> jax.Array:
     """Apply ``count`` merges sequentially (merge k creates id ``n_init + k``),
     compacting between steps so later merges see pairs created by earlier ones.
+
+    O(count * N): prefer :func:`batch_fixpoint_replay` for chunked replay.
     """
     def cond(carry):
         k, _ = carry
@@ -138,6 +148,66 @@ def replay_merges_on_corpus(corpus: jax.Array, pairs: jax.Array,
         return k + 1, compact_corpus(c)
 
     _, out = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), corpus))
+    return out
+
+
+def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
+                          start, count, n_init: int, max_vocab: int) -> jax.Array:
+    """Apply merges [start, start+count) as ONE rule table to fixpoint.
+
+    Each pass matches *all* rules simultaneously (pair-key search in a sorted
+    table), resolves overlapping matches with the greedy left-to-right parity
+    rule, substitutes, compacts, and repeats until a pass changes nothing —
+    the same fixpoint first-match semantics as ``tokenize()``
+    (hyperbolic_merge.py:433-445). This is exact, not an approximation:
+    within-chunk rule chains resolve across passes, and later rules can never
+    enable earlier ones (every rule's operand ids predate every later merge's
+    new id), so fixpoint == sequential replay order. O(passes * N log K)
+    instead of O(count * N); passes ~= chain depth (typically < 10).
+    """
+    max_k = merges.shape[0]
+    n = corpus.shape[0]
+    ks = jnp.arange(max_k, dtype=jnp.int32)
+    in_chunk = (ks >= start) & (ks < start + count)
+    rule_keys = jnp.where(
+        in_chunk,
+        merges[:, 0].astype(jnp.uint32) * jnp.uint32(max_vocab)
+        + merges[:, 1].astype(jnp.uint32),
+        jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(rule_keys)
+    rule_keys = rule_keys[order]
+    rule_ids = (jnp.asarray(n_init, jnp.int32) + ks)[order]
+
+    def one_pass(c):
+        nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
+        valid = (c >= 0) & (nxt >= 0)
+        key = jnp.where(
+            valid,
+            c.astype(jnp.uint32) * jnp.uint32(max_vocab)
+            + nxt.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))
+        pos = jnp.minimum(jnp.searchsorted(rule_keys, key), max_k - 1)
+        m = valid & (rule_keys[pos] == key)
+        prev_m = jnp.roll(m, 1).at[0].set(False)
+        run_start = m & ~prev_m
+        idx = jnp.arange(n, dtype=jnp.int32)
+        start_idx = jnp.where(run_start, idx, jnp.int32(-1))
+        last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+        applied = m & (((idx - last_start) % 2) == 0)
+        applied_prev = jnp.roll(applied, 1).at[0].set(False)
+        out = jnp.where(applied, rule_ids[pos], c)
+        out = jnp.where(applied_prev, PAD_ID, out)
+        return compact_corpus(out), jnp.any(applied)
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        c, _ = carry
+        return one_pass(c)
+
+    out, _ = jax.lax.while_loop(cond, body, (corpus, count > 0))
     return out
 
 

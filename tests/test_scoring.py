@@ -96,3 +96,17 @@ def test_morphology_analysis():
     assert t.is_valid_word("walking")            # frequent word
     assert t.is_valid_word("cat")                # vowel fallback, len>=3
     assert not t.is_valid_word("zz")             # no vowel, short
+
+
+def test_train_config_roundtrip(tmp_path):
+    from hyptokenizer_tpu.utils.config import TrainConfig
+    cfg = TrainConfig(embedding_dim=64, alpha=0.5,
+                      phase_transition_steps={2: 100, 3: 200})
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    cfg2 = TrainConfig.from_json(path)
+    assert cfg2 == cfg
+    cfg3 = TrainConfig.from_json(cfg.to_json())
+    assert cfg3 == cfg
+    kw = cfg.tokenizer_kwargs()
+    assert kw["alpha"] == 0.5 and kw["max_vocab_size"] == cfg.max_vocab_size
