@@ -152,16 +152,17 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             phase=jnp.asarray(1, jnp.int32),
             corpus=corpus_ids,
             corpus_synced=jnp.asarray(0, jnp.int32),
-            pair_keys=jnp.full((self.enh_config.freq_table_size,),
-                               np.uint32(0xFFFFFFFF), jnp.uint32),
-            pair_counts=jnp.zeros((self.enh_config.freq_table_size,), jnp.int32),
+            pair_keys=jnp.asarray(np.full(
+                (self.enh_config.freq_table_size,), 0xFFFFFFFF, np.uint32)),
+            pair_counts=jnp.asarray(np.zeros(
+                (self.enh_config.freq_table_size,), np.int32)),
             max_pair_count=jnp.asarray(0, jnp.int32),
-            sp_dist=jnp.full((self.enh_config.freq_table_size,), np.inf,
-                             jnp.float32),
-            sp_score=jnp.full((self.enh_config.freq_table_size, 3), -np.inf,
-                              jnp.float32),
-            sp_consumed=jnp.zeros((self.enh_config.freq_table_size,),
-                                  jnp.bool_),
+            sp_dist=jnp.asarray(np.full(
+                (self.enh_config.freq_table_size,), np.inf, np.float32)),
+            sp_score=jnp.asarray(np.full(
+                (self.enh_config.freq_table_size, 3), -np.inf, np.float32)),
+            sp_consumed=jnp.asarray(np.zeros(
+                (self.enh_config.freq_table_size,), np.bool_)),
             token_hash=jnp.asarray(t_hash),
             byte_lengths=jnp.asarray(b_len),
             has_vowel=jnp.asarray(vflag),

@@ -1,0 +1,128 @@
+"""CLI integration smoke tests: every entry point runs end-to-end on tiny data."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "corpus.txt"
+    lines = ["the cat sat on the mat and the dog sat on the log",
+             "a cat and a dog and a rat sat together",
+             "the rat ran to the mat and the cat ran after it"] * 5
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def trained_dir(corpus_file, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tok") / "t")
+    from hyptokenizer_tpu.cli import train_tokenizer
+    train_tokenizer.main([
+        "--corpus-path", corpus_file, "--output-dir", out,
+        "--embedding-dim", "8", "--steps", "40", "--log-every", "40",
+        "--merge-threshold", "2.0", "--max-vocab-size", "128"])
+    return out
+
+
+def test_preprocess_wiki(corpus_file, tmp_path):
+    from hyptokenizer_tpu.cli import preprocess_wiki
+    out = str(tmp_path / "proc")
+    preprocess_wiki.main(["--input-path", corpus_file, "--output-dir", out,
+                          "--min-line-length", "5"])
+    assert os.path.exists(os.path.join(out, "wiki_processed.txt"))
+    assert os.path.exists(os.path.join(out, "vocab_initial.txt"))
+
+
+def test_train_tokenizer(trained_dir):
+    assert os.path.exists(os.path.join(trained_dir, "merges.json"))
+
+
+def test_train_enhanced(corpus_file, tmp_path):
+    from hyptokenizer_tpu.cli import train_enhanced_tokenizer
+    out = str(tmp_path / "enh")
+    train_enhanced_tokenizer.main([
+        "--corpus-path", corpus_file, "--output-dir", out,
+        "--embedding-dim", "8", "--steps", "30", "--log-every", "15",
+        "--merge-threshold", "2.0", "--max-vocab-size", "128",
+        "--no-use-hierarchical", "--no-use-adaptive-curvature",
+        "--corpus-max-tokens", "2048", "--embed-steps", "50"])
+    assert os.path.exists(os.path.join(out, "enhanced_config.json"))
+
+
+def test_benchmark_efficiency(trained_dir, corpus_file, tmp_path, capsys):
+    from hyptokenizer_tpu.cli import benchmark_efficiency
+    out = str(tmp_path / "eff.json")
+    benchmark_efficiency.main([
+        "--tokenizer-dir", trained_dir, "--text-path", corpus_file,
+        "--max-lines", "10", "--output-path", out])
+    with open(out) as f:
+        res = json.load(f)
+    assert res["tokenize"]["tokens_per_sec"] > 0
+
+
+def test_compare_tokenizers(trained_dir, corpus_file, tmp_path):
+    from hyptokenizer_tpu.cli import compare_tokenizers
+    out = str(tmp_path / "cmp")
+    compare_tokenizers.main([
+        "--tokenizer", f"hyp={trained_dir}", "--text-path", corpus_file,
+        "--output-dir", out, "--max-lines", "10", "--no-plot"])
+    with open(os.path.join(out, "comparison.json")) as f:
+        res = json.load(f)
+    assert "hyp" in res
+
+
+def test_eval_hierarchy_cli(trained_dir, tmp_path):
+    import networkx as nx
+    import pickle
+    g = nx.Graph()
+    # Use single chars that exist in the trained vocab.
+    g.add_edge("a.n.01", "t.n.01")
+    g.add_edge("t.n.01", "c.n.01")
+    g.add_edge("c.n.01", "d.n.01")
+    gp = str(tmp_path / "g.pkl")
+    with open(gp, "wb") as f:
+        pickle.dump(g, f)
+    from hyptokenizer_tpu.cli import eval_hierarchy
+    out = str(tmp_path / "hier")
+    eval_hierarchy.main(["--tokenizer-dir", trained_dir, "--graph-path", gp,
+                         "--output-dir", out, "--num-pairs", "20"])
+    with open(os.path.join(out, "distortion_stats.json")) as f:
+        stats = json.load(f)
+    assert stats["num_pairs"] == 20
+
+
+def test_analysis_cli(trained_dir, tmp_path):
+    from hyptokenizer_tpu.cli import analysis
+    out = str(tmp_path / "plots")
+    analysis.main(["--tokenizer-dir", trained_dir, "--output-dir", out])
+    assert os.path.exists(os.path.join(out, "embedding_pca.png"))
+
+
+def test_test_tpu_cli(capsys):
+    from hyptokenizer_tpu.cli import test_tpu
+    test_tpu.main([])
+    out = capsys.readouterr().out
+    assert "backend" in out and "OK" in out
+
+
+def test_train_retrieval_synthetic(tmp_path):
+    from hyptokenizer_tpu.cli import train_retrieval
+    out = str(tmp_path / "ret")
+    train_retrieval.main([
+        "--synthetic", "--output-dir", out, "--epochs", "1",
+        "--batch-size", "8", "--batches-per-epoch", "2", "--image-size", "16",
+        "--seq-len", "8", "--tower-dim", "16", "--projection-dim", "8"])
+    assert os.path.exists(os.path.join(out, "retrieval_history.json"))
+
+
+def test_baselines_cli(corpus_file, tmp_path):
+    pytest.importorskip("tokenizers")
+    from hyptokenizer_tpu.cli import train_baseline_tokenizers
+    out = str(tmp_path / "base")
+    train_baseline_tokenizers.main([
+        "--input-file", corpus_file, "--output-dir", out,
+        "--vocab-size", "100", "--kinds", "bpe"])
+    assert os.path.exists(os.path.join(out, "baseline_stats.json"))
