@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--phase2-step", type=int, default=1000)
     p.add_argument("--phase3-step", type=int, default=6000)
     p.add_argument("--corpus-max-tokens", type=int, default=1 << 21)
+    p.add_argument("--merge-batch", type=int, default=8,
+                   help="candidates consumed per scored round (1 = strict "
+                        "greedy; >1 = the reference's cache-consume batching)")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -66,6 +69,7 @@ def main(argv=None):
         distortion_weight=args.distortion_weight,
         optimize_curvature_freq=args.optimize_curvature_freq,
         corpus_max_tokens=args.corpus_max_tokens,
+        merge_batch=args.merge_batch,
         seed=args.seed,
     )
     if args.resume and args.checkpoint_dir:

@@ -86,6 +86,7 @@ def enhanced_state_shardings(mesh: Mesh, st):
         curv_m=rep,
         curv_v=rep,
         curv_t=rep,
+        curv_last=rep,
     )
 
 

@@ -36,10 +36,14 @@ def _run(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
 def _run_enhanced(st, config, n_steps: int):
     from hyptokenizer_tpu.tokenizer import enhanced_state as E
     st = E.sync_corpus(st, config)
-    start = st.base.step
+    start_merges = st.base.num_merges
+    start_step = st.base.step
+    attempt_cap = n_steps + 1024
 
     def cond(s):
-        return (~s.base.stopped) & (s.base.step - start < n_steps)
+        return ((~s.base.stopped)
+                & (s.base.num_merges - start_merges < n_steps)
+                & (s.base.step - start_step < attempt_cap))
 
     return jax.lax.while_loop(cond, lambda s: E.enhanced_step(s, config), st)
 

@@ -85,6 +85,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         pool_k: int = 64,
         corpus_max_tokens: int = DEFAULT_CORPUS_TOKENS,
         search_block: int = 512,
+        merge_batch: int = 8,
         seed: int = 0,
     ):
         super().__init__(
@@ -105,6 +106,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                              search_block=search_block),
             n_init=len(self.vocab),
             has_corpus=bool(corpus_path or corpus_sample),
+            merge_batch=merge_batch,
             use_frequency=use_frequency_aware,
             alpha=alpha, beta=beta, gamma=gamma,
             use_compression=use_compression_aware,
@@ -174,6 +176,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             curv_m=jnp.asarray(0.0, jnp.float32),
             curv_v=jnp.asarray(0.0, jnp.float32),
             curv_t=jnp.asarray(0, jnp.int32),
+            curv_last=jnp.asarray(0, jnp.int32),
         )
         if use_hierarchical:
             # Phase-1 threshold applies from the start (enhanced_…:1046-1049).

@@ -51,7 +51,7 @@ from flax import struct
 from hyptokenizer_tpu.ops import lorentz as L
 from hyptokenizer_tpu.tokenizer import scoring
 from hyptokenizer_tpu.tokenizer.state import (
-    MergeConfig, MergeState, merge_pair,
+    MergeConfig, MergeState, merge_batch, merge_pair,
 )
 
 INF = jnp.inf
@@ -66,6 +66,10 @@ class EnhancedConfig:
         pytree_node=False, default_factory=MergeConfig)
     n_init: int = struct.field(pytree_node=False, default=0)
     has_corpus: bool = struct.field(pytree_node=False, default=False)
+    # Candidates consumed per step. >1 replicates the reference's
+    # cache consume-on-read batching (fast_hyperbolic_merge.py:263-265):
+    # the top-scored candidates of one search round merge without re-scoring.
+    merge_batch: int = struct.field(pytree_node=False, default=8)
 
     use_frequency: bool = struct.field(pytree_node=False, default=False)
     alpha: float = struct.field(pytree_node=False, default=0.4)
@@ -158,6 +162,7 @@ class EnhancedState:
     curv_m: jax.Array              # f32
     curv_v: jax.Array              # f32
     curv_t: jax.Array              # i32
+    curv_last: jax.Array           # i32 — num_merges at last curvature update
 
 
 def phase_threshold(config: EnhancedConfig, phase: jax.Array) -> jax.Array:
@@ -315,24 +320,37 @@ def _maybe_update_curvature(st: EnhancedState, config: EnhancedConfig,
             sp_dist=st.sp_dist * scale,
             curv_m=m, curv_v=v, curv_t=t)
 
-    do = (st.base.step > 0) & (st.base.step % config.curvature_freq == 0)
-    return jax.lax.cond(do, update, lambda s: s, st)
+    # Keyed on merge count (== the reference's step counter when one merge
+    # happens per step).
+    do = (st.base.num_merges // config.curvature_freq) > \
+         (st.curv_last // config.curvature_freq)
+    st = jax.lax.cond(do, update, lambda s: s, st)
+    return st.replace(curv_last=jnp.where(do, st.base.num_merges,
+                                          st.curv_last))
 
 
 # -------------------------------------------------------------------- step
 
 def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
-    """One scored merge step (+ phase transitions, curvature updates)."""
+    """One scored step: merge up to ``merge_batch`` candidates.
+
+    Selection: the fully-scored dense (distance-argmin) representative plus
+    the top sparse corpus pairs, ordered by combined score. Consuming several
+    top candidates per round without re-scoring is the reference's candidate
+    cache behavior (fast_hyperbolic_merge.py:63-133, 263-265).
+    """
     base = st.base
+    max_v = base.emb.shape[0]
 
     if config.use_hierarchical:
-        thr = jnp.asarray(config.phase_thresholds, jnp.float32)
-        phase = st.phase
-        phase = jnp.where(base.step == config.phase2_step, 2, phase)
-        phase = jnp.where(base.step == config.phase3_step, 3, phase)
+        # Phase = f(merge count): idempotent under batching
+        # (transition steps {2:1000, 3:6000}; enhanced_…:1056-1066).
+        thr_tab = jnp.asarray(config.phase_thresholds, jnp.float32)
+        phase = (1 + (base.num_merges >= config.phase2_step).astype(jnp.int32)
+                 + (base.num_merges >= config.phase3_step).astype(jnp.int32))
         changed = phase != st.phase
         base = base.replace(threshold=jnp.where(
-            changed, thr[jnp.clip(phase - 1, 0, 2)], base.threshold))
+            changed, thr_tab[jnp.clip(phase - 1, 0, 2)], base.threshold))
         st = st.replace(base=base, phase=phase)
 
     if config.use_adaptive_curvature:
@@ -343,66 +361,86 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
 
     key, sub = jax.random.split(st.key)
     st = st.replace(key=key)
+    pidx = jnp.clip(st.phase - 1, 0, 2)
 
-    # Dense channel winner: global distance argmin, fully scored.
+    # Dense channel representative: global distance argmin, fully scored.
     di = jnp.argmin(base.best_dist).astype(jnp.int32)
     dd = base.best_dist[di]
     dj = base.best_j[di]
-    dense_key = di.astype(jnp.uint32) * jnp.uint32(base.emb.shape[0]) \
+    dense_key = di.astype(jnp.uint32) * jnp.uint32(max_v) \
         + dj.astype(jnp.uint32)
     dense_freq = scoring.lookup_pair_counts(dense_key[None], st.pair_keys,
                                             st.pair_counts)[0]
-    dense_score3 = _full_scores(st, config, di[None], dj[None], dd[None],
-                                dense_freq[None], sub)[0]
-    pidx = jnp.clip(st.phase - 1, 0, 2)
-    dense_score = dense_score3[pidx]
+    dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
+                               dense_freq[None], sub)[0][pidx]
     dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
 
-    # Sparse channel winner: best precomputed corpus-pair score.
+    nb = max(1, config.merge_batch)
     if config.needs_corpus:
         sp_ok = (~st.sp_consumed) & (st.sp_dist < base.threshold)
         sp_vals = jnp.where(sp_ok, st.sp_score[:, pidx], -INF)
-        sk = jnp.argmax(sp_vals).astype(jnp.int32)
-        sparse_score = sp_vals[sk]
-        sparse_valid = sp_ok[sk]
-        skey = st.pair_keys[sk]
-        si = (skey // jnp.uint32(base.emb.shape[0])).astype(jnp.int32)
-        sj = (skey % jnp.uint32(base.emb.shape[0])).astype(jnp.int32)
-        sd = st.sp_dist[sk]
+        top_vals, top_pos = jax.lax.top_k(sp_vals, nb)
+        top_keys = st.pair_keys[top_pos]
+        sp_i = (top_keys // jnp.uint32(max_v)).astype(jnp.int32)
+        sp_j = (top_keys % jnp.uint32(max_v)).astype(jnp.int32)
+        sp_d = st.sp_dist[top_pos]
+        sp_valid = jnp.isfinite(top_vals) & (top_vals > -INF) & sp_ok[top_pos]
+        # Dedupe: a sparse entry equal to the dense pair yields the same
+        # merged token; keep the dense copy only.
+        sp_valid = sp_valid & ~(dense_valid & (top_keys == dense_key))
     else:
-        sparse_score = -INF
-        sparse_valid = jnp.asarray(False)
-        sk = jnp.asarray(0, jnp.int32)
-        si, sj, sd = di, dj, dd
+        sp_i = jnp.zeros((nb,), jnp.int32)
+        sp_j = jnp.zeros((nb,), jnp.int32)
+        sp_d = jnp.full((nb,), INF, jnp.float32)
+        top_vals = jnp.full((nb,), -INF, jnp.float32)
+        top_pos = jnp.zeros((nb,), jnp.int32)
+        sp_valid = jnp.zeros((nb,), jnp.bool_)
 
-    use_sparse = sparse_valid & ((~dense_valid) | (sparse_score > dense_score))
-    any_valid = (dense_valid | sparse_valid) & \
+    # Combined batch (dense + sparse), ordered by score descending.
+    cand_i = jnp.concatenate([di[None], sp_i])
+    cand_j = jnp.concatenate([dj[None], sp_j])
+    cand_d = jnp.concatenate([dd[None], sp_d])
+    cand_s = jnp.concatenate([jnp.where(dense_valid, dense_score, -INF)[None],
+                              jnp.where(sp_valid, top_vals, -INF)])
+    cand_valid = jnp.concatenate([dense_valid[None], sp_valid])
+    order = jnp.argsort(-cand_s)
+    cand_i = cand_i[order]
+    cand_j = cand_j[order]
+    cand_d = cand_d[order]
+    cand_valid = cand_valid[order] & jnp.isfinite(cand_d)
+
+    any_valid = jnp.any(cand_valid) & \
         (base.vocab_size < config.base.max_vocab_size)
 
     def do_merge(st):
-        i = jnp.where(use_sparse, si, di)
-        j = jnp.where(use_sparse, sj, dj)
-        d = jnp.where(use_sparse, sd, dd)
-        new_idx = st.base.vocab_size
-        new_base = merge_pair(st.base, i, j, d)
-        nh = scoring.compose_hash(st.token_hash[i], st.token_hash[j],
-                                  st.byte_lengths[j], st.hash_powers)
-        # Consume the sparse entry for this exact ordered pair (if present).
-        mkey = i.astype(jnp.uint32) * jnp.uint32(st.base.emb.shape[0]) \
-            + j.astype(jnp.uint32)
+        base0 = st.base
+        prev_merges = base0.num_merges
+        new_base = merge_batch(base0, cand_i, cand_j, cand_d, cand_valid)
+        nb_done = new_base.num_merges - prev_merges
+        # Slots actually assigned (order-preserving prefix of valid).
+        rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
+        applied = cand_valid & (rank < nb_done)
+        slot = jnp.where(applied, base0.vocab_size + rank, max_v)
+        # Token features for the new tokens (vectorised, drop-out-of-bounds).
+        nh = scoring.compose_hash(st.token_hash[cand_i],
+                                  st.token_hash[cand_j],
+                                  st.byte_lengths[cand_j], st.hash_powers)
+        token_hash = st.token_hash.at[slot].set(nh, mode="drop")
+        byte_lengths = st.byte_lengths.at[slot].set(
+            st.byte_lengths[cand_i] + st.byte_lengths[cand_j], mode="drop")
+        has_vowel = st.has_vowel.at[slot].set(
+            st.has_vowel[cand_i] | st.has_vowel[cand_j], mode="drop")
+        # Consume the sparse entries of every applied ordered pair.
+        mkey = (cand_i.astype(jnp.uint32) * jnp.uint32(max_v)
+                + cand_j.astype(jnp.uint32))
         pos = jnp.minimum(jnp.searchsorted(st.pair_keys, mkey),
                           st.pair_keys.shape[0] - 1)
-        consumed = st.sp_consumed.at[pos].set(
-            st.sp_consumed[pos] | (st.pair_keys[pos] == mkey))
-        return st.replace(
-            base=new_base.replace(empty_rounds=jnp.asarray(0, jnp.int32)),
-            sp_consumed=consumed,
-            token_hash=st.token_hash.at[new_idx].set(nh),
-            byte_lengths=st.byte_lengths.at[new_idx].set(
-                st.byte_lengths[i] + st.byte_lengths[j]),
-            has_vowel=st.has_vowel.at[new_idx].set(
-                st.has_vowel[i] | st.has_vowel[j]),
-        )
+        hit = applied & (st.pair_keys[pos] == mkey)
+        consumed = st.sp_consumed.at[jnp.where(hit, pos, st.sp_consumed.shape[0])
+                                     ].set(True, mode="drop")
+        return st.replace(base=new_base, sp_consumed=consumed,
+                          token_hash=token_hash, byte_lengths=byte_lengths,
+                          has_vowel=has_vowel)
 
     def no_merge(st):
         base = st.base
@@ -417,11 +455,14 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         return st.replace(base=base.replace(empty_rounds=empty,
                                             stopped=stopped))
 
+    prev_merges = st.base.num_merges
     st = jax.lax.cond(any_valid, do_merge, no_merge, st)
     base = st.base
     step = base.step + 1
+    # Periodic threshold growth per merge count (fast_…:572-576).
     if config.base.adaptive_threshold and config.base.threshold_growth_every > 0:
-        grow = (step % config.base.threshold_growth_every) == 0
+        every = config.base.threshold_growth_every
+        grow = (base.num_merges // every) > (prev_merges // every)
         thr = jnp.where(grow, base.threshold * config.base.threshold_growth,
                         base.threshold)
     else:
@@ -484,11 +525,20 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
                    donate_argnames=("st",))
 def run_enhanced(st: EnhancedState, config: EnhancedConfig,
                  n_steps: int) -> EnhancedState:
-    """One chunk: sync corpus statistics, then ``n_steps`` scored merges."""
+    """One chunk: sync corpus statistics, then merge up to ``n_steps`` tokens.
+
+    ``n_steps`` caps *merges* (the reference's step counter advances one merge
+    per step); loop iterations are additionally bounded so candidate-free
+    threshold-adaptation rounds terminate.
+    """
     st = sync_corpus(st, config)
-    start = st.base.step
+    start_merges = st.base.num_merges
+    start_step = st.base.step
+    attempt_cap = n_steps + 1024
 
     def cond(s):
-        return (~s.base.stopped) & (s.base.step - start < n_steps)
+        return ((~s.base.stopped)
+                & (s.base.num_merges - start_merges < n_steps)
+                & (s.base.step - start_step < attempt_cap))
 
     return jax.lax.while_loop(cond, lambda s: enhanced_step(s, config), st)

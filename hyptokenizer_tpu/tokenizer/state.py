@@ -225,6 +225,101 @@ def merge_step(state: MergeState, config: MergeConfig) -> MergeState:
                          stopped=state.stopped | full)
 
 
+def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
+                dd: jax.Array, valid: jax.Array) -> MergeState:
+    """Merge up to B candidate pairs in one vectorised step.
+
+    All midpoints are computed from the pre-batch embeddings (merges never
+    modify existing rows, so this equals sequential insertion of the same
+    pairs). Candidate-structure maintenance is two batched matmuls: one
+    (max_V, B) column fold for the new tokens, and one (B, max_V) refresh of
+    the winning rows. Semantics parity: the reference consumes up to 100
+    cached candidates per search round without re-scoring
+    (fast_hyperbolic_merge.py:263-265, 63-133).
+    """
+    max_v = state.emb.shape[0]
+    b = ii.shape[0]
+    c = state.curvature
+
+    # Cap by remaining capacity, preserving order (earlier = higher priority).
+    capacity = jnp.maximum(config_capacity(state), 0)
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    valid = valid & (rank < capacity)
+    rank = jnp.where(valid, rank, 0)
+    nb = jnp.sum(valid.astype(jnp.int32))
+    slot = jnp.where(valid, state.vocab_size + rank, max_v)  # max_v = dropped
+
+    xi = state.emb[ii]
+    xj = state.emb[jj]
+    len_i = state.lengths[ii]
+    len_j = state.lengths[jj]
+    w_j = len_j.astype(jnp.float32) / jnp.maximum(
+        len_i + len_j, 1).astype(jnp.float32)
+    v = L.log_map(xi, xj, c)
+    x_new = L.project_to_hyperboloid(L.exp_map(xi, w_j[:, None] * v, c), c)
+
+    emb = state.emb.at[slot].set(x_new, mode="drop")
+    lengths = state.lengths.at[slot].set(len_i + len_j, mode="drop")
+    hist_slot = jnp.where(valid, state.num_merges + rank, max_v)
+    merges = state.merges.at[hist_slot].set(
+        jnp.stack([ii, jj], axis=-1).astype(jnp.int32), mode="drop")
+    merge_dists = state.merge_dists.at[hist_slot].set(dd, mode="drop")
+    num_merges = state.num_merges + nb
+    vocab_size = state.vocab_size + nb
+
+    # Column fold: candidates (r, slot_k) for r < slot_k (includes pairs
+    # between the new tokens themselves, since emb is already updated).
+    g = L.pairwise_dist(emb, x_new, c)                     # (max_V, B)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, b), 0)
+    ok = valid[None, :] & (row_ids < slot[None, :]) & (row_ids < vocab_size)
+    g = jnp.where(ok, g, INF)
+    col_min = jnp.min(g, axis=1)
+    col_arg = slot[jnp.argmin(g, axis=1)].astype(jnp.int32)
+    improved = col_min < state.best_dist
+    best_dist = jnp.where(improved, col_min, state.best_dist)
+    best_j = jnp.where(improved, col_arg, state.best_j)
+
+    # Refresh the winning rows (their chosen partner is now in the merged
+    # set). Batched: (B, max_V) distances with triangular/active/history masks.
+    r = L.pairwise_dist(xi, emb, c)                        # (B, max_V)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, max_v), 1)
+    mask = (col_ids > ii[:, None]) & (col_ids < vocab_size) & valid[:, None]
+    r = jnp.where(mask, r, INF)
+    # History exclusion: for every history entry (a, c) with a == ii_k,
+    # row k loses column c. Scatter INF via flattened (k, c) indices.
+    hist_i = merges[:, 0]
+    hist_j = merges[:, 1]
+    hist_valid = (jax.lax.broadcasted_iota(
+        jnp.int32, (max_v, 1), 0)[:, 0] < num_merges)
+    match = hist_valid[None, :] & (hist_i[None, :] == ii[:, None])  # (B, max_V)
+    flat = jnp.where(match,
+                     jax.lax.broadcasted_iota(jnp.int32, (b, max_v), 0)
+                     * max_v + hist_j[None, :],
+                     b * max_v)
+    r = r.reshape(-1).at[flat.reshape(-1)].max(
+        jnp.where(match.reshape(-1), INF, 0.0), mode="drop").reshape(b, max_v)
+    # NOTE: xi rows were gathered pre-update, but winning rows are existing
+    # tokens whose embeddings never change — identical to post-update rows.
+    ri_min = jnp.min(r, axis=1)
+    ri_arg = jnp.argmin(r, axis=1).astype(jnp.int32)
+    # Invalid entries scatter out-of-bounds (dropped) so a stale duplicate row
+    # index can never overwrite a valid refresh.
+    ii_tgt = jnp.where(valid, ii, max_v)
+    bd = best_dist.at[ii_tgt].set(ri_min, mode="drop")
+    bj = best_j.at[ii_tgt].set(ri_arg, mode="drop")
+
+    return state.replace(
+        emb=emb, lengths=lengths, best_dist=bd, best_j=bj, merges=merges,
+        merge_dists=merge_dists, vocab_size=vocab_size, num_merges=num_merges,
+        empty_rounds=jnp.asarray(0, jnp.int32),
+    )
+
+
+def config_capacity(state: MergeState) -> jax.Array:
+    """Remaining vocab slots."""
+    return state.emb.shape[0] - state.vocab_size
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n_steps"),
                    donate_argnames=("state",))
 def run_merges(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
