@@ -25,6 +25,8 @@ def main(argv=None):
                    default="both")
     p.add_argument("--train-text", type=str, default=None,
                    help="text file for MLM")
+    p.add_argument("--val-text", type=str, default=None,
+                   help="held-out text for MLM perplexity")
     p.add_argument("--train-cls", type=str, default=None,
                    help="label<TAB>text file for classification")
     p.add_argument("--output-dir", type=str, required=True)
@@ -62,14 +64,28 @@ def main(argv=None):
                 if len(texts) >= args.max_lines:
                     break
         encoded = adapter.batch_encode(texts, max_length=args.max_length)
+        eval_encoded = None
+        if args.val_text:
+            val_texts = []
+            with open(args.val_text, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        val_texts.append(line.strip())
+                    if len(val_texts) >= args.max_lines // 4:
+                        break
+            eval_encoded = adapter.batch_encode(val_texts,
+                                                max_length=args.max_length)
         model = nlp.build_bert_mlm(
             vocab_size, hidden=args.hidden_size, layers=args.num_layers,
             heads=args.num_heads, seed=args.seed, embeddings=emb)
         _, ppl = nlp.mlm_train(
             model, encoded, epochs=args.epochs, batch_size=args.batch_size,
-            max_length=args.max_length, lr=args.lr, seed=args.seed)
-        results["mlm_perplexity"] = ppl
-        print(f"MLM perplexity: {ppl:.2f}")
+            max_length=args.max_length, lr=args.lr, seed=args.seed,
+            eval_encoded=eval_encoded)
+        key = "mlm_val_perplexity" if eval_encoded else "mlm_perplexity"
+        results[key] = ppl
+        print(f"MLM perplexity ({'val' if eval_encoded else 'train'}): "
+              f"{ppl:.2f}")
 
     if args.task in ("classification", "both") and args.train_cls:
         texts, labels = [], []

@@ -158,12 +158,45 @@ def make_batches(encoded: Dict, batch_size: int, max_length: int,
         yield ids, mask
 
 
+def mlm_eval(model, params, encoded: Dict, *, batch_size: int = 16,
+             max_length: int = 128, mask_id: int = 3, mlm_prob: float = 0.15,
+             seed: int = 1234) -> float:
+    """Held-out masked-LM perplexity."""
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def batch_loss(params, key, ids, mask):
+        key, sub = jax.random.split(key)
+        rand = jax.random.uniform(sub, ids.shape)
+        is_masked = (rand < mlm_prob) & (mask == 1)
+        inputs = jnp.where(is_masked, mask_id, ids)
+        logits = model(input_ids=inputs, attention_mask=mask,
+                       params=params, train=False).logits
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_ll = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+        w = is_masked.astype(jnp.float32)
+        return key, jnp.sum(tok_ll * w), jnp.sum(w)
+
+    total_ll = 0.0
+    total_w = 0.0
+    for ids, mask in make_batches(encoded, batch_size, max_length, seed=seed):
+        key, ll, w = batch_loss(params, key, jnp.asarray(ids),
+                                jnp.asarray(mask))
+        total_ll += float(ll)
+        total_w += float(w)
+    if total_w == 0:
+        return float("inf")
+    return math.exp(min(20.0, -total_ll / total_w))
+
+
 def mlm_train(model, encoded: Dict, *, epochs: int = 1, batch_size: int = 16,
               max_length: int = 128, lr: float = 5e-4, mask_id: int = 3,
-              mlm_prob: float = 0.15, seed: int = 0, log=print):
+              mlm_prob: float = 0.15, seed: int = 0, log=print,
+              eval_encoded: Optional[Dict] = None):
     """MLM training loop (mlm_probability 0.15, train_nlp_tasks.py:213-351).
 
-    Returns (params, final_perplexity_estimate).
+    Returns (params, perplexity) — held-out perplexity when ``eval_encoded``
+    is given, else a train-loss estimate.
     """
     import optax
     tx = optax.adamw(lr)
@@ -200,7 +233,13 @@ def mlm_train(model, encoded: Dict, *, epochs: int = 1, batch_size: int = 16,
                 params, opt_state, key, jnp.asarray(ids), jnp.asarray(mask))
             losses.append(float(loss))
         log(f"epoch {epoch}: mlm loss {np.mean(losses[-50:]):.4f}")
-    ppl = math.exp(min(20.0, float(np.mean(losses[-50:])))) if losses else float("inf")
+    if eval_encoded is not None:
+        ppl = mlm_eval(model, params, eval_encoded, batch_size=batch_size,
+                       max_length=max_length, mask_id=mask_id,
+                       mlm_prob=mlm_prob)
+    else:
+        ppl = math.exp(min(20.0, float(np.mean(losses[-50:])))) if losses \
+            else float("inf")
     return params, ppl
 
 
