@@ -40,6 +40,13 @@ def main(argv=None):
     p.add_argument("--merge-batch", type=int, default=8,
                    help="candidates consumed per scored round (1 = strict "
                         "greedy; >1 = the reference's cache-consume batching)")
+    p.add_argument("--min-pair-freq", type=int, default=1,
+                   help="minimum corpus occurrences for a corpus-pair "
+                        "candidate")
+    p.add_argument("--use-dense-channel", action=ba, default=True,
+                   help="--no-use-dense-channel restricts merges to corpus "
+                        "pairs (BPE-like; avoids geometric chain merges "
+                        "filling the vocab tail)")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -70,6 +77,8 @@ def main(argv=None):
         optimize_curvature_freq=args.optimize_curvature_freq,
         corpus_max_tokens=args.corpus_max_tokens,
         merge_batch=args.merge_batch,
+        min_pair_freq=args.min_pair_freq,
+        use_dense_channel=args.use_dense_channel,
         seed=args.seed,
     )
     if args.resume and args.checkpoint_dir:

@@ -86,6 +86,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         corpus_max_tokens: int = DEFAULT_CORPUS_TOKENS,
         search_block: int = 512,
         merge_batch: int = 8,
+        min_pair_freq: int = 1,
+        use_dense_channel: bool = True,
         seed: int = 0,
     ):
         super().__init__(
@@ -107,6 +109,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             n_init=len(self.vocab),
             has_corpus=bool(corpus_path or corpus_sample),
             merge_batch=merge_batch,
+            min_pair_freq=min_pair_freq,
+            use_dense_channel=use_dense_channel,
             use_frequency=use_frequency_aware,
             alpha=alpha, beta=beta, gamma=gamma,
             use_compression=use_compression_aware,

@@ -70,6 +70,12 @@ class EnhancedConfig:
     # cache consume-on-read batching (fast_hyperbolic_merge.py:263-265):
     # the top-scored candidates of one search round merge without re-scoring.
     merge_batch: int = struct.field(pytree_node=False, default=8)
+    # Corpus grounding. min_pair_freq: a sparse candidate needs at least this
+    # many corpus occurrences. use_dense_channel=False restricts merges to
+    # corpus pairs entirely (BPE-like; prevents the geometric chain-collapse
+    # from filling the vocab tail once frequent pairs are exhausted).
+    min_pair_freq: int = struct.field(pytree_node=False, default=1)
+    use_dense_channel: bool = struct.field(pytree_node=False, default=True)
 
     use_frequency: bool = struct.field(pytree_node=False, default=False)
     alpha: float = struct.field(pytree_node=False, default=0.4)
@@ -374,6 +380,8 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
                                dense_freq[None], sub)[0][pidx]
     dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
+    if config.needs_corpus and not config.use_dense_channel:
+        dense_valid = jnp.asarray(False)
 
     nb = max(1, config.merge_batch)
     if config.needs_corpus:
@@ -504,7 +512,8 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     key, sub = jax.random.split(st.key)
     score3 = _full_scores(st, config, rows, cols, dists,
                           counts, sub)
-    score3 = jnp.where(valid[:, None], score3, -INF)
+    ok = valid & (counts >= config.min_pair_freq)
+    score3 = jnp.where(ok[:, None], score3, -INF)
 
     # Pairs already merged (any historical ordered pair) are consumed.
     hist_keys = jnp.where(
