@@ -226,6 +226,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             self.enh_config = self.enh_config.replace(
                 base=self.enh_config.base.replace(adaptive_threshold=False))
         done = 0
+        zero_chunks = 0
         while done < steps:
             if target_vocab_size is not None and \
                     len(self.vocab) >= target_vocab_size:
@@ -236,6 +237,13 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             self.enh_state = E.run_enhanced(self.enh_state, self.enh_config,
                                             chunk)
             new = self._sync_merges_from_device()
+            # Candidate exhaustion: a chunk with zero merges after a fresh
+            # corpus sync means no candidate can ever qualify again (threshold
+            # adaptation already ran inside the chunk); one retry confirms.
+            zero_chunks = zero_chunks + 1 if new == 0 else 0
+            if zero_chunks >= 2:
+                logger.info("No more merge candidates found. Stopping.")
+                break
             dt = time.perf_counter() - t0
             done += chunk
             self.current_phase = int(self.enh_state.phase)
