@@ -55,6 +55,9 @@ from hyptokenizer_tpu.tokenizer.state import (
 )
 
 INF = jnp.inf
+# Adaptive threshold growth cap: beyond this every finite distance passes,
+# so further growth only degrades logs/coherence terms.
+THRESHOLD_CAP = 1e6
 GRAD_EPS = 1e-6  # acosh clamp for differentiable paths (ops/lorentz.py)
 
 
@@ -455,8 +458,9 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         empty = base.empty_rounds + 1
         if config.base.adaptive_threshold:
             grow = empty >= config.base.empty_growth_after
-            thr = jnp.where(grow, base.threshold * config.base.empty_growth,
-                            base.threshold)
+            thr = jnp.minimum(
+                jnp.where(grow, base.threshold * config.base.empty_growth,
+                          base.threshold), THRESHOLD_CAP)
             return st.replace(base=base.replace(
                 threshold=thr, empty_rounds=jnp.where(grow, 0, empty)))
         stopped = empty >= config.base.empty_stop_after
@@ -471,8 +475,9 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     if config.base.adaptive_threshold and config.base.threshold_growth_every > 0:
         every = config.base.threshold_growth_every
         grow = (base.num_merges // every) > (prev_merges // every)
-        thr = jnp.where(grow, base.threshold * config.base.threshold_growth,
-                        base.threshold)
+        thr = jnp.minimum(
+            jnp.where(grow, base.threshold * config.base.threshold_growth,
+                      base.threshold), THRESHOLD_CAP)
     else:
         thr = base.threshold
     full = base.vocab_size >= config.base.max_vocab_size

@@ -42,6 +42,9 @@ from hyptokenizer_tpu.ops import lorentz as L
 from hyptokenizer_tpu.tokenizer import search
 
 INF = jnp.inf
+# Adaptive threshold growth cap: beyond this every finite distance passes,
+# so further growth only degrades logs/coherence terms.
+THRESHOLD_CAP = 1e6
 
 
 @struct.dataclass
@@ -193,8 +196,9 @@ def _no_candidate(state: MergeState, config: MergeConfig) -> MergeState:
     empty = state.empty_rounds + 1
     if config.adaptive_threshold:
         grow = empty >= config.empty_growth_after
-        threshold = jnp.where(grow, state.threshold * config.empty_growth,
-                              state.threshold)
+        threshold = jnp.minimum(
+            jnp.where(grow, state.threshold * config.empty_growth,
+                      state.threshold), THRESHOLD_CAP)
         empty = jnp.where(grow, 0, empty)
         return state.replace(threshold=threshold, empty_rounds=empty)
     stopped = empty >= config.empty_stop_after
@@ -216,8 +220,9 @@ def merge_step(state: MergeState, config: MergeConfig) -> MergeState:
     # Periodic threshold growth (fast_hyperbolic_merge.py:572-576).
     if config.adaptive_threshold and config.threshold_growth_every > 0:
         grow = (step % config.threshold_growth_every) == 0
-        threshold = jnp.where(grow, state.threshold * config.threshold_growth,
-                              state.threshold)
+        threshold = jnp.minimum(
+            jnp.where(grow, state.threshold * config.threshold_growth,
+                      state.threshold), THRESHOLD_CAP)
     else:
         threshold = state.threshold
     full = state.vocab_size >= config.max_vocab_size
