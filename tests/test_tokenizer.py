@@ -232,3 +232,61 @@ def test_loaded_tokenizer_can_continue_training(tmp_path):
     n_before = len(tok2.merge_history)
     tok2.optimize_merges(steps=5, log_every=5)
     assert len(tok2.merge_history) > n_before
+
+
+def test_merge_batch_matches_sequential():
+    """Batched insertion == sequential merge_pair for the same pair list."""
+    from hyptokenizer_tpu.tokenizer.state import merge_batch, merge_pair
+    vocab, emb = make_vocab_emb(n=16, d=6, sigma=0.6)
+    lengths = jnp.asarray([len(t) for t in vocab], jnp.int32)
+    config = MergeConfig(max_vocab_size=48, search_block=16)
+    st0 = init_state(emb, lengths, curvature=1.0, threshold=5.0, config=config)
+
+    pairs = [(4, 9), (5, 11), (6, 12), (4, 10)]  # includes a repeated row i=4
+    dists = [float(L.distance(emb[i], emb[j])) for i, j in pairs]
+
+    seq = st0
+    for (i, j), d in zip(pairs, dists):
+        seq = merge_pair(seq, jnp.asarray(i), jnp.asarray(j), jnp.asarray(d))
+
+    bat = merge_batch(
+        st0,
+        jnp.asarray([p[0] for p in pairs], jnp.int32),
+        jnp.asarray([p[1] for p in pairs], jnp.int32),
+        jnp.asarray(dists, jnp.float32),
+        jnp.ones((len(pairs),), jnp.bool_),
+    )
+
+    assert int(bat.num_merges) == int(seq.num_merges) == 4
+    np.testing.assert_array_equal(np.asarray(bat.merges[:4]),
+                                  np.asarray(seq.merges[:4]))
+    np.testing.assert_allclose(np.asarray(bat.emb), np.asarray(seq.emb),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bat.lengths),
+                                  np.asarray(seq.lengths))
+    v = int(seq.vocab_size)
+    np.testing.assert_allclose(np.asarray(bat.best_dist[:v]),
+                               np.asarray(seq.best_dist[:v]), atol=1e-5)
+    same = np.asarray(bat.best_j[:v]) == np.asarray(seq.best_j[:v])
+    ties = np.isclose(np.asarray(bat.best_dist[:v]),
+                      np.asarray(seq.best_dist[:v]), atol=1e-5)
+    assert (same | ties).all()
+
+
+def test_merge_batch_respects_capacity_and_validity():
+    from hyptokenizer_tpu.tokenizer.state import merge_batch
+    vocab, emb = make_vocab_emb(n=8, d=4, sigma=0.6)
+    lengths = jnp.asarray([len(t) for t in vocab], jnp.int32)
+    config = MergeConfig(max_vocab_size=10, search_block=8)
+    st = init_state(emb, lengths, curvature=1.0, threshold=5.0, config=config)
+    out = merge_batch(
+        st,
+        jnp.asarray([0, 1, 2, 3], jnp.int32),
+        jnp.asarray([4, 5, 6, 7], jnp.int32),
+        jnp.ones((4,), jnp.float32),
+        jnp.asarray([True, False, True, True]),  # 3 valid, capacity 2
+    )
+    assert int(out.num_merges) == 2           # capacity clamp
+    np.testing.assert_array_equal(np.asarray(out.merges[:2]),
+                                  [[0, 4], [2, 6]])  # invalid entry skipped
+    assert int(out.vocab_size) == 10
