@@ -47,31 +47,33 @@ def _kernel(vs_ref, xs_ref, ys_ref, min_ref, arg_ref):
     tm = xs_ref.shape[0]
     tn = ys_ref.shape[0]
 
-    m = jax.lax.dot_general(
-        xs_ref[:], ys_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TM, TN) Minkowski Gram tile
-    mc = jnp.maximum(m, 1.0 + ACOSH_EPS)
-
-    vocab_size = vs_ref[0]
-    row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
-    valid = (col_ids > row_ids) & (col_ids < vocab_size)
-    mc = jnp.where(valid, mc, jnp.inf)
-
-    tile_min = jnp.min(mc, axis=1)                       # (TM,)
-    tile_arg = (j * tn + jnp.argmin(mc, axis=1)).astype(jnp.int32)
-
     # Outputs are whole-array VMEM-resident blocks (index map constant);
     # row tile i owns slice [i, :], accumulated across column tiles j.
     @pl.when(j == 0)
     def _():
-        min_ref[i, :] = tile_min
-        arg_ref[i, :] = tile_arg
+        min_ref[i, :] = jnp.full((tm,), jnp.inf, jnp.float32)
+        arg_ref[i, :] = jnp.zeros((tm,), jnp.int32)
 
-    @pl.when(j > 0)
+    # Tiles entirely below the diagonal (max col <= min row) have no valid
+    # (j > i) element: skip the matmul + reduction outright — ~half the grid.
+    @pl.when(j * tn + (tn - 1) > i * tm)
     def _():
+        m = jax.lax.dot_general(
+            xs_ref[:], ys_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TM, TN) Minkowski Gram tile
+        mc = jnp.maximum(m, 1.0 + ACOSH_EPS)
+
+        vocab_size = vs_ref[0]
+        row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+        col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+        valid = (col_ids > row_ids) & (col_ids < vocab_size)
+        mc = jnp.where(valid, mc, jnp.inf)
+
+        tile_min = jnp.min(mc, axis=1)                       # (TM,)
+        tile_arg = (j * tn + jnp.argmin(mc, axis=1)).astype(jnp.int32)
+
         prev = min_ref[i, :]
         better = tile_min < prev  # strict: earlier (lower) col wins ties
         min_ref[i, :] = jnp.where(better, tile_min, prev)
@@ -81,7 +83,7 @@ def _kernel(vs_ref, xs_ref, ys_ref, min_ref, arg_ref):
 @functools.partial(jax.jit,
                    static_argnames=("tile_m", "tile_n", "interpret"))
 def pairwise_min_best(emb: jax.Array, vocab_size: jax.Array, c: jax.Array,
-                      tile_m: int = 256, tile_n: int = 512,
+                      tile_m: int = 2048, tile_n: int = 4096,
                       interpret: bool = False):
     """Per-row best merge candidate over the upper triangle, fused on TPU.
 
@@ -94,6 +96,12 @@ def pairwise_min_best(emb: jax.Array, vocab_size: jax.Array, c: jax.Array,
       ``tokenizer.search.full_pass_best`` with empty history.
     """
     max_v, d1 = emb.shape
+    # Shrink tiles for small buffers so padding stays bounded; the large
+    # defaults are tuned for the 50k-vocab workload (v5e: ~6.6 ms full pass,
+    # fp32-MXU-bound; small tiles pay ~2 us/grid-step sequencing overhead).
+    eff = _round_up(max_v, 256)
+    tile_m = min(tile_m, eff)
+    tile_n = min(tile_n, eff)
     pad_v = _round_up(max_v, max(tile_m, tile_n))
     pad_d = _round_up(d1, 128)
 
@@ -130,7 +138,8 @@ def pairwise_min_best(emb: jax.Array, vocab_size: jax.Array, c: jax.Array,
             jax.ShapeDtypeStruct((n_i, tile_m), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * pad_v * pad_v * pad_d,
+            # Upper-triangle tiles only (below-diagonal tiles are skipped).
+            flops=pad_v * pad_v * pad_d,
             bytes_accessed=(n_j * pad_v * pad_d * 4) + pad_v * pad_d * 4,
             transcendentals=0,
         ),
