@@ -83,6 +83,38 @@ def main(argv=None):
             fig.savefig(os.path.join(args.output_dir, "comparison.png"),
                         dpi=120)
             print(f"wrote plot to {args.output_dir}/comparison.png")
+
+            # Radar chart over per-metric max-normalised scores
+            # (reference compare_tokenizers.py:451-556).
+            import numpy as np
+            metrics = [
+                ("tokens/sec", lambda r: r["throughput"]["tokens_per_sec"]),
+                ("chars/token", lambda r: r["compression"]["chars_per_token"]),
+                ("morpheme", lambda r: r["quality"]["morpheme_ratio"]),
+                ("word-boundary",
+                 lambda r: r["quality"]["word_boundary_ratio"]),
+                ("subword", lambda r: r["quality"]["subword_ratio"]),
+            ]
+            vals = np.array([[get(results[n]) for _, get in metrics]
+                             for n in names], dtype=float)
+            peak = np.maximum(vals.max(axis=0), 1e-12)
+            scores = vals / peak
+            ang = np.linspace(0, 2 * np.pi, len(metrics), endpoint=False)
+            ang_c = np.concatenate([ang, ang[:1]])
+            fig2, ax = plt.subplots(figsize=(6, 6),
+                                    subplot_kw={"projection": "polar"})
+            for n, row in zip(names, scores):
+                closed = np.concatenate([row, row[:1]])
+                ax.plot(ang_c, closed, label=n)
+                ax.fill(ang_c, closed, alpha=0.1)
+            ax.set_xticks(ang)
+            ax.set_xticklabels([m for m, _ in metrics])
+            ax.set_ylim(0, 1.05)
+            ax.legend(loc="upper right", bbox_to_anchor=(1.3, 1.1))
+            fig2.tight_layout()
+            fig2.savefig(os.path.join(args.output_dir, "comparison_radar.png"),
+                         dpi=120)
+            print(f"wrote plot to {args.output_dir}/comparison_radar.png")
         except Exception as e:  # plotting is best-effort
             print(f"plotting skipped: {e}")
 
