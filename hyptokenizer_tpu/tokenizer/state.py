@@ -165,6 +165,25 @@ def merge_pair(state: MergeState, i: jax.Array, j: jax.Array,
 
     Shared by the distance-only loop (which picks the global argmin) and the
     enhanced scored loop (which picks by combined feature score).
+
+    Candidate maintenance is ONE column fold (a single O(V d) HBM pass) —
+    there is no row re-scan and no history consultation. Structural-exclusion
+    invariant: ``best_j[r]`` always points at an *unconsumed* column, because
+
+      * when the consumed pair was row i's tracked best, that best was the
+        true minimum over unconsumed columns, so every other unconsumed q has
+        d(i, q) >= d(i, j); the new midpoint satisfies
+        d(i, m) = w_j * d(i, j) <= d(i, j) (w_j < 1), hence folding m's
+        column after invalidating row i re-establishes the true minimum;
+      * when the consumed pair was NOT the tracked best (enhanced sparse-
+        channel merges), the tracked best is untouched and stays unconsumed;
+      * folds only ever point rows at freshly-inserted (unconsumed) columns.
+
+    Consumed pairs therefore can never be re-selected, with no exclusion
+    machinery in the loop. (A full re-scan — load-resume in core.py — still
+    masks the recorded history explicitly.) On exact fp ties (the acosh clamp
+    floor) the tracked partner may differ from a full re-scan's lowest-index
+    tie-break; the tracked *distance* is identical.
     """
     new_idx = state.vocab_size
     emb, lengths = midpoint_insert(state.emb, state.lengths, i, j, new_idx,
@@ -174,15 +193,21 @@ def merge_pair(state: MergeState, i: jax.Array, j: jax.Array,
     merge_dists = state.merge_dists.at[state.num_merges].set(d)
     num_merges = state.num_merges + 1
     vocab_size = state.vocab_size + 1
+    max_v = emb.shape[0]
 
-    # Fold the new column into every row's best, then refresh row i (its
-    # winning partner just joined the merged set).
-    best_dist, best_j = search.column_update(
-        emb, new_idx, state.curvature, state.best_dist, state.best_j)
-    ri_d, ri_j = search.row_best(emb, i, vocab_size, state.curvature,
-                                 merges, num_merges)
-    best_dist = best_dist.at[i].set(ri_d)
-    best_j = best_j.at[i].set(ri_j)
+    x_new = jax.lax.dynamic_index_in_dim(emb, new_idx, axis=0, keepdims=True)
+    d_new = L.pairwise_dist(emb, x_new, state.curvature)[:, 0]  # (max_V,)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, 1), 0)[:, 0]
+    d_new = jnp.where(ids < new_idx, d_new, INF)
+
+    # Invalidate row i iff its tracked best was just consumed; the fold below
+    # then claims it with (d(i, m), new_idx), the new true minimum.
+    tracked = state.best_j[i] == j
+    best_dist = state.best_dist.at[i].set(
+        jnp.where(tracked, INF, state.best_dist[i]))
+    improved = d_new < best_dist
+    best_dist = jnp.where(improved, d_new, best_dist)
+    best_j = jnp.where(improved, new_idx.astype(jnp.int32), state.best_j)
 
     return state.replace(
         emb=emb, lengths=lengths, best_dist=best_dist, best_j=best_j,
@@ -236,11 +261,12 @@ def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
 
     All midpoints are computed from the pre-batch embeddings (merges never
     modify existing rows, so this equals sequential insertion of the same
-    pairs). Candidate-structure maintenance is two batched matmuls: one
-    (max_V, B) column fold for the new tokens, and one (B, max_V) refresh of
-    the winning rows. Semantics parity: the reference consumes up to 100
-    cached candidates per search round without re-scoring
-    (fast_hyperbolic_merge.py:263-265, 63-133).
+    pairs). Candidate-structure maintenance is one batched (max_V, B) column
+    fold after invalidating rows whose tracked best was consumed — the
+    structural-exclusion invariant of ``merge_pair`` (see its docstring)
+    makes any row re-scan or history masking unnecessary. Semantics parity:
+    the reference consumes up to 100 cached candidates per search round
+    without re-scoring (fast_hyperbolic_merge.py:263-265, 63-133).
     """
     max_v = state.emb.shape[0]
     b = ii.shape[0]
@@ -272,46 +298,29 @@ def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
     num_merges = state.num_merges + nb
     vocab_size = state.vocab_size + nb
 
+    # Invalidate rows whose tracked best was consumed by this batch. At most
+    # one applied pair per row can match the pre-batch ``best_j`` (it is a
+    # single value), so batched invalidation equals sequential processing.
+    ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, 1), 0)[:, 0]
+    inval = jnp.any((ii[None, :] == ids[:, None])
+                    & (jj[None, :] == state.best_j[:, None])
+                    & valid[None, :], axis=1)
+    best_dist0 = jnp.where(inval, INF, state.best_dist)
+
     # Column fold: candidates (r, slot_k) for r < slot_k (includes pairs
-    # between the new tokens themselves, since emb is already updated).
+    # between the new tokens themselves, since emb is already updated). An
+    # invalidated row a always regains a finite best here: its own midpoint
+    # column satisfies d(a, m) = w * d(a, b) <= d(a, q) for all unconsumed q
+    # (structural-exclusion invariant, see merge_pair).
     g = L.pairwise_dist(emb, x_new, c)                     # (max_V, B)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, b), 0)
     ok = valid[None, :] & (row_ids < slot[None, :]) & (row_ids < vocab_size)
     g = jnp.where(ok, g, INF)
     col_min = jnp.min(g, axis=1)
     col_arg = slot[jnp.argmin(g, axis=1)].astype(jnp.int32)
-    improved = col_min < state.best_dist
-    best_dist = jnp.where(improved, col_min, state.best_dist)
-    best_j = jnp.where(improved, col_arg, state.best_j)
-
-    # Refresh the winning rows (their chosen partner is now in the merged
-    # set). Batched: (B, max_V) distances with triangular/active/history masks.
-    r = L.pairwise_dist(xi, emb, c)                        # (B, max_V)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, max_v), 1)
-    mask = (col_ids > ii[:, None]) & (col_ids < vocab_size) & valid[:, None]
-    r = jnp.where(mask, r, INF)
-    # History exclusion: for every history entry (a, c) with a == ii_k,
-    # row k loses column c. Scatter INF via flattened (k, c) indices.
-    hist_i = merges[:, 0]
-    hist_j = merges[:, 1]
-    hist_valid = (jax.lax.broadcasted_iota(
-        jnp.int32, (max_v, 1), 0)[:, 0] < num_merges)
-    match = hist_valid[None, :] & (hist_i[None, :] == ii[:, None])  # (B, max_V)
-    flat = jnp.where(match,
-                     jax.lax.broadcasted_iota(jnp.int32, (b, max_v), 0)
-                     * max_v + hist_j[None, :],
-                     b * max_v)
-    r = r.reshape(-1).at[flat.reshape(-1)].max(
-        jnp.where(match.reshape(-1), INF, 0.0), mode="drop").reshape(b, max_v)
-    # NOTE: xi rows were gathered pre-update, but winning rows are existing
-    # tokens whose embeddings never change — identical to post-update rows.
-    ri_min = jnp.min(r, axis=1)
-    ri_arg = jnp.argmin(r, axis=1).astype(jnp.int32)
-    # Invalid entries scatter out-of-bounds (dropped) so a stale duplicate row
-    # index can never overwrite a valid refresh.
-    ii_tgt = jnp.where(valid, ii, max_v)
-    bd = best_dist.at[ii_tgt].set(ri_min, mode="drop")
-    bj = best_j.at[ii_tgt].set(ri_arg, mode="drop")
+    improved = col_min < best_dist0
+    bd = jnp.where(improved, col_min, best_dist0)
+    bj = jnp.where(improved, col_arg, state.best_j)
 
     return state.replace(
         emb=emb, lengths=lengths, best_dist=bd, best_j=bj, merges=merges,
