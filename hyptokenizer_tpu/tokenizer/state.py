@@ -336,7 +336,8 @@ def config_capacity(state: MergeState) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("config", "n_steps"),
                    donate_argnames=("state",))
-def run_merges(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
+def _run_merges_xla(state: MergeState, config: MergeConfig,
+                    n_steps: int) -> MergeState:
     """Run up to ``n_steps`` merge steps in one compiled while-loop."""
     start = state.step
 
@@ -347,3 +348,25 @@ def run_merges(state: MergeState, config: MergeConfig, n_steps: int) -> MergeSta
         return merge_step(s, config)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def run_merges(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
+    """Run up to ``n_steps`` merge steps in one device dispatch.
+
+    Backend dispatch: on TPU the whole chunk runs as ONE Pallas kernel launch
+    (ops/pallas/merge_loop.py — per-step cost is the O(V d) HBM pass, and
+    kernel-launch latency amortises across the chunk: ~25k steps/s at V=50k
+    d=100 vs ~13.6k for the while-loop path on a quiet chip, and ~10x better
+    when the chip is contended). Elsewhere (or when shapes don't satisfy the
+    kernel's 128-alignment), the jitted ``lax.while_loop``. Merge sequences
+    agree except on exact fp ties at the acosh clamp floor (see the kernel's
+    module docstring).
+    """
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from hyptokenizer_tpu.ops.pallas import merge_loop
+        if merge_loop.supports(state):
+            return merge_loop.run_merges_chunk(state, config, n_steps)
+    return _run_merges_xla(state, config, n_steps)
