@@ -260,8 +260,19 @@ def _run_chunk(emb, best_dist, best_j, lengths, merges, merge_dists,
                vocab_size, num_merges, step, empty_rounds, stopped,
                threshold, curvature, config, n_steps, interpret=False):
     max_v, d1 = emb.shape
-    assert max_v % LANES == 0 and d1 <= LANES
-    n8 = max_v // LANES
+    assert d1 <= LANES
+    # Pad the vocab axis to 128 alignment; ``max_v`` stays the true capacity
+    # (stop condition), padded rows are inert (best_dist = INF).
+    pad_v = -(-max_v // LANES) * LANES
+    pv = pad_v - max_v
+    if pv:
+        emb = jnp.pad(emb, ((0, pv), (0, 0)))
+        best_dist = jnp.pad(best_dist, (0, pv), constant_values=INF)
+        best_j = jnp.pad(best_j, (0, pv))
+        lengths = jnp.pad(lengths, (0, pv))
+        merges = jnp.pad(merges, ((0, pv), (0, 0)), constant_values=-1)
+        merge_dists = jnp.pad(merge_dists, (0, pv))
+    n8 = pad_v // LANES
     g = _pick_group(n8)
 
     emb_p = jnp.pad(emb, ((0, 0), (0, LANES - d1)))
@@ -302,7 +313,7 @@ def _run_chunk(emb, best_dist, best_j, lengths, merges, merge_dists,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((max_v, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((pad_v, LANES), jnp.float32),
             jax.ShapeDtypeStruct(n2, jnp.float32),
             jax.ShapeDtypeStruct(n2, jnp.int32),
             jax.ShapeDtypeStruct(n2, jnp.int32),
@@ -326,12 +337,13 @@ def _run_chunk(emb, best_dist, best_j, lengths, merges, merge_dists,
 
     (emb_o, bd_o, bj_o, ln_o, hi_o, hj_o, md_o, si_o, sf_o) = out
     return dict(
-        emb=emb_o[:, :d1],
-        best_dist=bd_o.reshape(max_v),
-        best_j=bj_o.reshape(max_v),
-        lengths=ln_o.reshape(max_v),
-        merges=jnp.stack([hi_o.reshape(max_v), hj_o.reshape(max_v)], axis=-1),
-        merge_dists=md_o.reshape(max_v),
+        emb=emb_o[:max_v, :d1],
+        best_dist=bd_o.reshape(pad_v)[:max_v],
+        best_j=bj_o.reshape(pad_v)[:max_v],
+        lengths=ln_o.reshape(pad_v)[:max_v],
+        merges=jnp.stack([hi_o.reshape(pad_v)[:max_v],
+                          hj_o.reshape(pad_v)[:max_v]], axis=-1),
+        merge_dists=md_o.reshape(pad_v)[:max_v],
         vocab_size=si_o[0, 0], num_merges=si_o[1, 0], step=si_o[2, 0],
         empty_rounds=si_o[3, 0], stopped=si_o[4, 0].astype(jnp.bool_),
         threshold=sf_o[0, 0],
@@ -339,9 +351,12 @@ def _run_chunk(emb, best_dist, best_j, lengths, merges, merge_dists,
 
 
 def supports(state) -> bool:
-    """Shape preconditions for the fused loop kernel."""
-    max_v, d1 = state.emb.shape
-    return max_v % LANES == 0 and d1 <= LANES
+    """Shape preconditions for the fused loop kernel.
+
+    Any vocab size works (the wrapper pads to 128 alignment); only the
+    feature dim is bounded by one lane tile.
+    """
+    return state.emb.shape[1] <= LANES
 
 
 def run_merges_chunk(state, config, n_steps: int, interpret: bool = False):

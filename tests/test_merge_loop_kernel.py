@@ -105,6 +105,17 @@ def test_non_adaptive_stops():
     assert int(a.num_merges) == int(b.num_merges) == 0
 
 
+def test_unaligned_max_vocab():
+    # max_v not a multiple of 128: wrapper pads, cap semantics preserved.
+    st_a, config = _fresh(n0=40, max_v=200, threshold=50.0)
+    st_b, _ = _fresh(n0=40, max_v=200, threshold=50.0)
+    a = _run_merges_xla(st_a, config, 300)
+    b = run_merges_chunk(st_b, config, 300, interpret=True)
+    assert int(b.vocab_size) == 200
+    assert bool(b.stopped)
+    assert int(a.num_merges) == int(b.num_merges) == 160
+
+
 def test_stops_at_max_vocab():
     st, config = _fresh(n0=40, max_v=128, threshold=50.0)
     config = MergeConfig(max_vocab_size=128, search_block=64,
