@@ -527,9 +527,8 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         + base.merges[:, 1].astype(jnp.uint32),
         jnp.uint32(0xFFFFFFFF))
     hist_sorted = jnp.sort(hist_keys)
-    pos = jnp.minimum(jnp.searchsorted(hist_sorted, keys),
-                      hist_sorted.shape[0] - 1)
-    consumed = (hist_sorted[pos] == keys) & valid
+    consumed = scoring.in_sorted_set(keys, hist_sorted,
+                                     base.num_merges) & valid
 
     return st.replace(key=key, sp_dist=dists, sp_score=score3,
                       sp_consumed=consumed)

@@ -86,8 +86,52 @@ def compose_hash(h_i: jax.Array, h_j: jax.Array, byte_len_j: jax.Array,
     return jnp.stack([c1, c2], axis=-1)
 
 
+def _membership_sort_join(keys: jax.Array, table: jax.Array,
+                          table_size: jax.Array) -> jax.Array:
+    """Sort-join membership: sort (table ++ queries) by (key, tag) and let a
+    prefix max propagate the most recent *table* key to each query.
+
+    A per-key binary search is log2(|table|) serialized scalar gathers per
+    query (~7.5 ns each on the TPU vector memory — ~45 ms for 131k queries
+    against two tables), while sorting is an XLA-native high-throughput op:
+    the whole join costs one ~(Q+T)-element multi-operand sort plus one scan
+    and one scatter (~3 ms at Q=131k).
+    """
+    q = keys.shape[0]
+    mt = table.shape[0]
+    tpos = jnp.arange(mt, dtype=jnp.int32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    tkey = jnp.where(tpos < table_size, table, sent)
+    allk = jnp.concatenate([tkey, keys])
+    tag = jnp.concatenate([jnp.zeros((mt,), jnp.int32),
+                           jnp.ones((q,), jnp.int32)])
+    # Query slot in the output; table entries park in the dropped slot q.
+    opos = jnp.concatenate([jnp.full((mt,), q, jnp.int32),
+                            jnp.arange(q, dtype=jnp.int32)])
+    sk, stag, spos = jax.lax.sort((allk, tag, opos), num_keys=2)
+    # Most recent table key (+1, so key 0 is distinguishable from "none");
+    # keys are sorted ascending, so a prefix max carries the nearest table
+    # key at-or-below each position. Valid keys are < 0xFFFFFFFF, so +1
+    # never wraps for matchable entries.
+    tbl_mark = jnp.where((stag == 0) & (sk != sent), sk + jnp.uint32(1),
+                         jnp.uint32(0))
+    last_tbl = jax.lax.associative_scan(jnp.maximum, tbl_mark)
+    member = (stag == 1) & (last_tbl == sk + jnp.uint32(1)) & (sk != sent)
+    # Each query slot is written exactly once (spos is unique over queries);
+    # table entries all land in dropped slot q.
+    out = jnp.zeros((q + 1,), jnp.bool_).at[spos].set(member)
+    return out[:q]
+
+
 def in_sorted_set(keys: jax.Array, table: jax.Array, table_size: jax.Array) -> jax.Array:
-    """Membership of uint32 keys in a sorted uint32 table (padded with max)."""
+    """Membership of uint32 keys in a sorted uint32 table (padded with max).
+
+    Large query batches dispatch to the sort-join (see above); small ones
+    (the per-step dense-candidate checks) keep the binary search, which is
+    cheaper than sorting the whole table for a handful of keys.
+    """
+    if keys.size >= 4096:
+        return _membership_sort_join(keys, table, table_size)
     pos = jnp.searchsorted(table, keys)
     pos = jnp.minimum(pos, table.shape[0] - 1)
     return (table[pos] == keys) & (pos < table_size)
@@ -151,32 +195,83 @@ def replay_merges_on_corpus(corpus: jax.Array, pairs: jax.Array,
     return out
 
 
+def match_rules(key: jax.Array, merges: jax.Array, start, count,
+                n_init: int, max_vocab: int, *, rule_group: int = 1024,
+                tile: int = 16384) -> jax.Array:
+    """Merged-token id for each pair key, or -1 where no rule matches.
+
+    Rules are merges [start, start+count) with key a*max_vocab+b and merged
+    id n_init+k. Matching is a tiled broadcast-compare against rule groups —
+    NOT a sorted-table binary search: a 16-round ``searchsorted`` over an
+    N-element query array is 16 N-wide random gathers, which serialize on the
+    TPU's vector memory (measured 240 ms for N=2M vs ~6 ms for this form,
+    which is pure VPU compare/select work).
+
+    At most one rule can match a key (a pair is never merged twice —
+    state.merge_pair's structural exclusion), so a max-reduction over groups
+    is exact. O(N * count) compares, grouped so the common chunked-replay
+    case (count <= rule_group) is a single sweep.
+    """
+    n = key.shape[0]
+    n_tiles = -(-n // tile)
+    pad_n = n_tiles * tile
+    if pad_n != n:
+        key = jnp.pad(key, (0, pad_n - n),
+                      constant_values=jnp.uint32(0xFFFFFFFF))
+    key2 = key.reshape(n_tiles, tile)
+    # Pad the rule table to a group multiple so no dynamic_slice start is ever
+    # clamped (a clamp would silently shift the group window off its ids).
+    max_k = merges.shape[0]
+    pad_k = -(-max_k // rule_group) * rule_group
+    if pad_k != max_k:
+        merges = jnp.pad(merges, ((0, pad_k - max_k), (0, 0)),
+                         constant_values=-1)
+    group_lo = start // rule_group          # first group index (traced)
+    n_groups = (start + count - 1) // rule_group - group_lo + 1
+
+    def one_group(carry):
+        g, acc = carry
+        g0 = (group_lo + g) * rule_group
+        rules = jax.lax.dynamic_slice_in_dim(merges, g0, rule_group, axis=0)
+        ks = g0 + jnp.arange(rule_group, dtype=jnp.int32)
+        ok = (ks >= start) & (ks < start + count) & (rules[:, 0] >= 0)
+        rkey = jnp.where(
+            ok,
+            rules[:, 0].astype(jnp.uint32) * jnp.uint32(max_vocab)
+            + rules[:, 1].astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))
+        rid = jnp.asarray(n_init, jnp.int32) + ks
+
+        def one_tile(kt):
+            eq = kt[:, None] == rkey[None, :]
+            return jnp.max(jnp.where(eq, rid[None, :], jnp.int32(-1)), axis=1)
+
+        acc = jnp.maximum(acc, jax.lax.map(one_tile, key2).reshape(pad_n))
+        return g + 1, acc
+
+    _, matched = jax.lax.while_loop(
+        lambda carry: carry[0] < n_groups, one_group,
+        (jnp.asarray(0, jnp.int32), jnp.full((pad_n,), -1, jnp.int32)))
+    # 0xFFFFFFFF sentinel keys can never match: a valid rule key encodes
+    # a, b < max_vocab <= 2^16-ish, so key < max_vocab^2 < 2^32 - 1.
+    return matched[:n]
+
+
 def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
                           start, count, n_init: int, max_vocab: int) -> jax.Array:
     """Apply merges [start, start+count) as ONE rule table to fixpoint.
 
-    Each pass matches *all* rules simultaneously (pair-key search in a sorted
-    table), resolves overlapping matches with the greedy left-to-right parity
-    rule, substitutes, compacts, and repeats until a pass changes nothing —
-    the same fixpoint first-match semantics as ``tokenize()``
-    (hyperbolic_merge.py:433-445). This is exact, not an approximation:
-    within-chunk rule chains resolve across passes, and later rules can never
-    enable earlier ones (every rule's operand ids predate every later merge's
-    new id), so fixpoint == sequential replay order. O(passes * N log K)
-    instead of O(count * N); passes ~= chain depth (typically < 10).
+    Each pass matches *all* rules simultaneously (tiled compare via
+    :func:`match_rules`), resolves overlapping matches with the greedy
+    left-to-right parity rule, substitutes, compacts, and repeats until a
+    pass changes nothing — the same fixpoint first-match semantics as
+    ``tokenize()`` (hyperbolic_merge.py:433-445). This is exact, not an
+    approximation: within-chunk rule chains resolve across passes, and later
+    rules can never enable earlier ones (every rule's operand ids predate
+    every later merge's new id), so fixpoint == sequential replay order.
+    O(passes * N * count) compares; passes ~= chain depth (typically < 10).
     """
-    max_k = merges.shape[0]
     n = corpus.shape[0]
-    ks = jnp.arange(max_k, dtype=jnp.int32)
-    in_chunk = (ks >= start) & (ks < start + count)
-    rule_keys = jnp.where(
-        in_chunk,
-        merges[:, 0].astype(jnp.uint32) * jnp.uint32(max_vocab)
-        + merges[:, 1].astype(jnp.uint32),
-        jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(rule_keys)
-    rule_keys = rule_keys[order]
-    rule_ids = (jnp.asarray(n_init, jnp.int32) + ks)[order]
 
     def one_pass(c):
         nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
@@ -186,8 +281,8 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
             c.astype(jnp.uint32) * jnp.uint32(max_vocab)
             + nxt.astype(jnp.uint32),
             jnp.uint32(0xFFFFFFFF))
-        pos = jnp.minimum(jnp.searchsorted(rule_keys, key), max_k - 1)
-        m = valid & (rule_keys[pos] == key)
+        mid = match_rules(key, merges, start, count, n_init, max_vocab)
+        m = valid & (mid >= 0)
         prev_m = jnp.roll(m, 1).at[0].set(False)
         run_start = m & ~prev_m
         idx = jnp.arange(n, dtype=jnp.int32)
@@ -195,7 +290,7 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
         last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
         applied = m & (((idx - last_start) % 2) == 0)
         applied_prev = jnp.roll(applied, 1).at[0].set(False)
-        out = jnp.where(applied, rule_ids[pos], c)
+        out = jnp.where(applied, mid, c)
         out = jnp.where(applied_prev, PAD_ID, out)
         return compact_corpus(out), jnp.any(applied)
 
@@ -233,22 +328,32 @@ def build_pair_table(corpus: jax.Array, max_vocab: int, table_size: int):
         jnp.uint32(0xFFFFFFFF),
     )
     key = jnp.sort(key)
-    # Run heads of the sorted keys (sentinel runs excluded).
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    # Run boundaries of the sorted keys; `head` = boundaries of real runs.
     prev = jnp.roll(key, 1)
-    head = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != prev[1:]])
-    head = head & (key != jnp.uint32(0xFFFFFFFF))
-    # Segment id of each element = index of its run; sentinel/overflow -> slot
-    # table_size (dropped).
+    bnd = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != prev[1:]])
+    head = bnd & (key != sent)
+    # Per-run counts come from *boundary position differences* (suffix-min
+    # scan + tiny gathers) rather than a second N-element scatter-add: a
+    # random scatter serializes on TPU (~9 ns/element — 18 ms at N=2M),
+    # while the scan is a vector op.
+    nbp = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(bnd, idx, n))))  # next bnd at/after i
+    nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), n, jnp.int32)])
+    # One scatter: head element index per table slot (drop overflow/non-head).
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    seg = jnp.where((key == jnp.uint32(0xFFFFFFFF)) | (seg >= table_size),
-                    table_size, seg)
-    counts = jnp.zeros((table_size + 1,), jnp.int32).at[seg].add(1)
-    keys_out = jnp.full((table_size + 1,), jnp.uint32(0xFFFFFFFF))
-    keys_out = keys_out.at[jnp.where(head, seg, table_size)].set(key)
+    slot = jnp.where(head & (seg < table_size), seg, table_size)
+    hp = jnp.full((table_size + 1,), n, jnp.int32).at[slot].set(idx)
+    hp_t = hp[:table_size]
+    ok = hp_t < n
+    hp_c = jnp.minimum(hp_t, n - 1)
+    keys_out = jnp.where(ok, key[hp_c], sent)
+    counts = jnp.where(ok, nbp_excl[hp_c] - hp_t, 0).astype(jnp.int32)
     n_unique = jnp.sum(head.astype(jnp.int32))
-    max_count = jnp.max(counts[:table_size])
-    return (keys_out[:table_size], counts[:table_size],
-            jnp.minimum(n_unique, table_size), max_count)
+    max_count = jnp.max(counts)
+    return (keys_out, counts, jnp.minimum(n_unique, table_size), max_count)
 
 
 def lookup_pair_counts(keys: jax.Array, table_keys: jax.Array,
