@@ -142,15 +142,23 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         mk, ms, wk, ws = self.morphology.hash_tables()
 
         # --- device state ---
+        # Host computes only the n0 initial-vocab rows; padding to max_v and
+        # the constant-fill tables happen in one jitted device assembly
+        # (avoids ~4 MB of host->device upload on a remote transport).
         max_v = self.max_vocab_size
-        t_hash = np.zeros((max_v, 2), np.uint32)
-        b_len = np.zeros((max_v,), np.int32)
-        vflag = np.zeros((max_v,), np.bool_)
+        n0 = len(self.vocab)
+        t_hash = np.zeros((n0, 2), np.uint32)
+        b_len = np.zeros((n0,), np.int32)
+        vflag = np.zeros((n0,), np.bool_)
         for idx, tok in enumerate(self.vocab):
             h1, h2 = scoring.hash_string(tok)
             t_hash[idx] = (h1, h2)
             b_len[idx] = len(tok.encode("utf-8"))
             vflag[idx] = morphology.has_vowel(tok)
+        (pair_keys, pair_counts, sp_dist, sp_score, sp_consumed, token_hash,
+         byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
+            jnp.asarray(t_hash), jnp.asarray(b_len), jnp.asarray(vflag),
+            max_v, self.enh_config.freq_table_size)
 
         self.enh_state = E.EnhancedState(
             base=self.state,
@@ -158,20 +166,15 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             phase=jnp.asarray(1, jnp.int32),
             corpus=corpus_ids,
             corpus_synced=jnp.asarray(0, jnp.int32),
-            pair_keys=jnp.asarray(np.full(
-                (self.enh_config.freq_table_size,), 0xFFFFFFFF, np.uint32)),
-            pair_counts=jnp.asarray(np.zeros(
-                (self.enh_config.freq_table_size,), np.int32)),
+            pair_keys=pair_keys,
+            pair_counts=pair_counts,
             max_pair_count=jnp.asarray(0, jnp.int32),
-            sp_dist=jnp.asarray(np.full(
-                (self.enh_config.freq_table_size,), np.inf, np.float32)),
-            sp_score=jnp.asarray(np.full(
-                (self.enh_config.freq_table_size, 3), -np.inf, np.float32)),
-            sp_consumed=jnp.asarray(np.zeros(
-                (self.enh_config.freq_table_size,), np.bool_)),
-            token_hash=jnp.asarray(t_hash),
-            byte_lengths=jnp.asarray(b_len),
-            has_vowel=jnp.asarray(vflag),
+            sp_dist=sp_dist,
+            sp_score=sp_score,
+            sp_consumed=sp_consumed,
+            token_hash=token_hash,
+            byte_lengths=byte_lengths,
+            has_vowel=has_vowel,
             hash_powers=scoring.hash_powers(),
             morph_table=jnp.asarray(mk),
             morph_size=jnp.asarray(ms, jnp.int32),

@@ -196,7 +196,7 @@ def replay_merges_on_corpus(corpus: jax.Array, pairs: jax.Array,
 
 
 def match_rules(key: jax.Array, merges: jax.Array, start, count,
-                n_init: int, max_vocab: int, *, rule_group: int = 1024,
+                n_init: int, max_vocab: int, *, rule_group: int = 512,
                 tile: int = 16384) -> jax.Array:
     """Merged-token id for each pair key, or -1 where no rule matches.
 
@@ -270,8 +270,21 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
     rules can never enable earlier ones (every rule's operand ids predate
     every later merge's new id), so fixpoint == sequential replay order.
     O(passes * N * count) compares; passes ~= chain depth (typically < 10).
+
+    Termination refinement: merging always interposes a *new* id between its
+    neighbours, so a pass can only create matches for rules whose operands
+    are themselves within-chunk merged ids (``>= n_init + start``). When the
+    chunk has no such rule (always true in corpus-grounded mode, whose
+    candidates all predate the chunk), one parity pass is provably complete
+    and the fixpoint-confirmation pass is skipped.
     """
     n = corpus.shape[0]
+    max_k = merges.shape[0]
+    ks = jnp.arange(max_k, dtype=jnp.int32)
+    in_chunk = (ks >= start) & (ks < start + count)
+    can_chain = jnp.any(
+        in_chunk & (jnp.max(merges, axis=1)
+                    >= jnp.asarray(n_init, jnp.int32) + start))
 
     def one_pass(c):
         nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
@@ -295,14 +308,16 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
         return compact_corpus(out), jnp.any(applied)
 
     def cond(carry):
-        _, changed = carry
-        return changed
+        _, changed, passes = carry
+        return changed & (can_chain | (passes < 1))
 
     def body(carry):
-        c, _ = carry
-        return one_pass(c)
+        c, _, passes = carry
+        c2, changed = one_pass(c)
+        return c2, changed, passes + 1
 
-    out, _ = jax.lax.while_loop(cond, body, (corpus, count > 0))
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (corpus, count > 0, jnp.asarray(0, jnp.int32)))
     return out
 
 

@@ -82,28 +82,36 @@ class MergeState:
     stopped: jax.Array      # bool scalar
 
 
+@functools.partial(jax.jit, static_argnames=("max_v",))
+def _assemble_buffers(emb0: jax.Array, lengths0: jax.Array, max_v: int):
+    """Pad the initial-vocab arrays into the ``max_v`` training buffers.
+
+    One jitted device-side assembly (a single cacheable compile): only the
+    small (n0, d+1) initial arrays cross host->device. Building the padded
+    buffers host-side and uploading them costs tens of seconds through a
+    remote-device transport at max_v=50k (~21 MB).
+    """
+    n0, d1 = emb0.shape
+    emb = jnp.zeros((max_v, d1), jnp.float32).at[:n0].set(emb0)
+    lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(lengths0)
+    merges = jnp.full((max_v, 2), -1, jnp.int32)
+    merge_dists = jnp.zeros((max_v,), jnp.float32)
+    return emb, lengths, merges, merge_dists
+
+
 def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
                threshold: float = 0.1, config: MergeConfig) -> MergeState:
     """Build the initial state and run the one-time O(V0^2 d) candidate pass."""
     import numpy as np
 
     max_v = config.max_vocab_size
-    d1 = emb0.shape[1]
     n0 = emb0.shape[0]
     if n0 > max_v:
         raise ValueError(f"initial vocab {n0} exceeds max_vocab_size {max_v}")
 
-    # Assemble buffers host-side (numpy) and transfer once: each eager jnp
-    # construction op would otherwise trigger its own device compile, which is
-    # expensive on remote-compile TPU backends.
-    emb_np = np.zeros((max_v, d1), np.float32)
-    emb_np[:n0] = np.asarray(emb0, np.float32)
-    emb = jnp.asarray(emb_np)
-    len_np = np.zeros((max_v,), np.int32)
-    len_np[:n0] = np.asarray(lengths0, np.int32)
-    lengths = jnp.asarray(len_np)
-    merges = jnp.asarray(np.full((max_v, 2), -1, np.int32))
-    merge_dists = jnp.asarray(np.zeros((max_v,), np.float32))
+    emb, lengths, merges, merge_dists = _assemble_buffers(
+        jnp.asarray(np.asarray(emb0, np.float32)),
+        jnp.asarray(np.asarray(lengths0, np.int32)), max_v)
     vocab_size = jnp.asarray(n0, jnp.int32)
     num_merges = jnp.asarray(0, jnp.int32)
     c = jnp.asarray(curvature, jnp.float32)
