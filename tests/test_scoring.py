@@ -87,6 +87,78 @@ def test_in_sorted_set():
     np.testing.assert_array_equal(got_w, [False, True, False])
 
 
+def test_match_rules_group_boundaries():
+    """Tiled rule matching == naive lookup, across rule-group boundaries."""
+    rng = np.random.default_rng(3)
+    max_v = 5000
+    max_k = 2000
+    n_init = 44
+    merges = np.full((max_k, 2), -1, np.int32)
+    merges[:1600] = rng.integers(0, 60, (1600, 2))
+    # Rule window straddles the 512-wide group boundary at 1024.
+    start, count = 900, 300
+    key_np = rng.integers(0, 60, 4096).astype(np.uint32) * max_v \
+        + rng.integers(0, 60, 4096).astype(np.uint32)
+    # Sprinkle keys that actually match in-window rules.
+    for k in range(start, start + count, 7):
+        key_np[rng.integers(0, 4096)] = merges[k, 0] * max_v + merges[k, 1]
+    got = np.asarray(S.match_rules(
+        jnp.asarray(key_np), jnp.asarray(merges), jnp.asarray(start),
+        jnp.asarray(count), n_init, max_v))
+    naive = {}
+    for k in range(start, start + count):
+        kk = merges[k, 0] * max_v + merges[k, 1]
+        if kk not in naive:                 # first rule wins is irrelevant:
+            naive[kk] = n_init + k          # duplicates can't occur in real
+    want = np.asarray([naive.get(int(kq), -1) for kq in key_np])
+    # Where duplicate synthetic rules share a key, match_rules returns the
+    # max id; accept either by masking those keys out.
+    from collections import Counter
+    dup = {kk for kk, c in Counter(
+        merges[k, 0] * max_v + merges[k, 1]
+        for k in range(start, start + count)).items() if c > 1}
+    mask = np.asarray([int(kq) not in dup for kq in key_np])
+    np.testing.assert_array_equal(got[mask], want[mask])
+
+
+def test_membership_sort_join_matches_binary_search():
+    rng = np.random.default_rng(5)
+    table = np.unique(rng.integers(0, 1 << 20, 3000).astype(np.uint32))
+    pad = np.full(4096 - table.shape[0], 0xFFFFFFFF, np.uint32)
+    tbl = jnp.asarray(np.concatenate([table, pad]))
+    tsize = jnp.asarray(table.shape[0], jnp.int32)
+    queries = np.concatenate([
+        rng.choice(table, 2000),                       # hits
+        rng.integers(0, 1 << 20, 3000).astype(np.uint32),  # mostly misses
+        np.asarray([0xFFFFFFFF, 0, table[0], table[-1]], np.uint32),
+    ])
+    q = jnp.asarray(queries)
+    got = np.asarray(S._membership_sort_join(q, tbl, tsize))
+    pos = np.minimum(np.searchsorted(np.asarray(tbl), queries), 4095)
+    want = (np.asarray(tbl)[pos] == queries) & (pos < int(tsize))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pair_table_matches_counter_random():
+    """build_pair_table == collections.Counter on a random corpus."""
+    from collections import Counter
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 50, 5000).astype(np.int32)
+    c[rng.integers(0, 5000, 300)] = -2   # SEP
+    c[4200:] = -1                        # PAD tail
+    keys, counts, n_unique, max_count = S.build_pair_table(
+        jnp.asarray(c), 100, 4096)
+    want = Counter((int(a), int(b)) for a, b in zip(c[:-1], c[1:])
+                   if a >= 0 and b >= 0)
+    got = {}
+    for k, n in zip(np.asarray(keys), np.asarray(counts)):
+        if int(k) != 0xFFFFFFFF:
+            got[(int(k) // 100, int(k) % 100)] = int(n)
+    assert got == dict(want)
+    assert int(n_unique) == len(want)
+    assert int(max_count) == max(want.values())
+
+
 def test_morphology_analysis():
     from hyptokenizer_tpu.utils import morphology
     lines = ["the walking dog was walking quickly",
