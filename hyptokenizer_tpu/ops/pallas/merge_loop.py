@@ -301,13 +301,13 @@ def _run_chunk(emb, best_dist, best_j, lengths, merges, merge_dists,
         kern,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # emb (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # emb (HBM)
             vmem2(), vmem2(), vmem2(), vmem2(), vmem2(), vmem2(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             vmem2(), vmem2(), vmem2(), vmem2(), vmem2(), vmem2(),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -28,6 +28,7 @@ from hyptokenizer_tpu.ops import lorentz as L
 from hyptokenizer_tpu.tokenizer import search as search_lib
 from hyptokenizer_tpu.tokenizer import state as state_lib
 from hyptokenizer_tpu.tokenizer.encode import Encoder
+from hyptokenizer_tpu.tokenizer.normalize import NormalizerConfig
 
 logger = logging.getLogger(__name__)
 
@@ -52,9 +53,11 @@ class HyperbolicTokenizer:
         use_approximate_search: bool = True,
         adaptive_threshold: bool = True,
         search_block: int = 512,
+        normalizer=None,
     ):
         if len(vocab) > max_vocab_size:
             raise ValueError("initial vocab larger than max_vocab_size")
+        self.normalizer = normalizer  # Optional[NormalizerConfig]; None = raw
         self.vocab: List[str] = list(vocab)
         self.curvature = float(curvature)
         self.merge_threshold = float(merge_threshold)
@@ -147,7 +150,8 @@ class HyperbolicTokenizer:
     # -------------------------------------------------------------- inference
     def _get_encoder(self) -> Encoder:
         if self._encoder is None:
-            self._encoder = Encoder(self.vocab, self.merge_history)
+            self._encoder = Encoder(self.vocab, self.merge_history,
+                                    normalizer=self.normalizer)
         return self._encoder
 
     def tokenize(self, text: str) -> List[str]:
@@ -185,6 +189,11 @@ class HyperbolicTokenizer:
             "max_vocab_size": self.max_vocab_size,
             "use_approximate_search": self.use_approximate_search,
         }
+        if self.normalizer is not None:
+            # Framework extension key; the reference's loader reads only the
+            # keys it knows (hyperbolic_merge.py:516-529), so artifacts stay
+            # loadable there.
+            config["normalizer"] = self.normalizer.to_json()
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(config, f)
         with open(os.path.join(path, "training_stats.json"), "w") as f:
@@ -216,6 +225,7 @@ class HyperbolicTokenizer:
             merge_threshold=config["merge_threshold"],
             max_vocab_size=config.get("max_vocab_size", 100_000),
             use_approximate_search=config.get("use_approximate_search", True),
+            normalizer=NormalizerConfig.from_json(config.get("normalizer")),
         )
         # Replay merge history onto the host state; restore device arrays.
         tok.vocab = list(vocab)

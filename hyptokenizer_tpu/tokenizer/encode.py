@@ -19,6 +19,9 @@ import ctypes
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from hyptokenizer_tpu.tokenizer import normalize as norm_lib
+from hyptokenizer_tpu.tokenizer.normalize import NormalizerConfig
+
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
@@ -115,11 +118,18 @@ class _NativeEncoder:
 
 
 class Encoder:
-    """tokenize/encode/decode with reference semantics and a native fast path."""
+    """tokenize/encode/decode with reference semantics and a native fast path.
+
+    ``normalizer`` opts into Unicode normalization and regex pre-splitting
+    before the character split (normalize.py); the default (None) is exact
+    reference semantics.
+    """
 
     def __init__(self, vocab: Sequence[str],
                  merge_history: Sequence[Tuple[str, str, str]],
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 normalizer: Optional[NormalizerConfig] = None):
+        self.normalizer = normalizer
         self.vocab = list(vocab)
         self.merge_history = [tuple(m) for m in merge_history]
         self.merge_rules = build_merge_rules(self.merge_history)
@@ -141,12 +151,24 @@ class Encoder:
         return self._native is not None
 
     def tokenize(self, text: str) -> List[str]:
-        return tokenize_py(text, self.merge_rules)
+        segs = norm_lib.apply(text, self.normalizer)
+        if len(segs) == 1:
+            return tokenize_py(segs[0], self.merge_rules)
+        out: List[str] = []
+        for seg in segs:
+            out.extend(tokenize_py(seg, self.merge_rules))
+        return out
 
     def encode(self, text: str) -> List[int]:
-        if self._native is not None:
-            return self._native.encode(text)
-        return [self.token2idx.get(t, self.unk_id) for t in self.tokenize(text)]
+        if self._native is None:
+            return self.encode_py(text)
+        segs = norm_lib.apply(text, self.normalizer)
+        if len(segs) == 1:
+            return self._native.encode(segs[0])
+        out: List[int] = []
+        for seg in segs:
+            out.extend(self._native.encode(seg))
+        return out
 
     def encode_py(self, text: str) -> List[int]:
         """Pure-python path (for conformance cross-checks)."""

@@ -89,6 +89,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         min_pair_freq: int = 1,
         use_dense_channel: bool = True,
         seed: int = 0,
+        normalizer=None,
     ):
         super().__init__(
             vocab, embeddings, curvature=curvature,
@@ -96,6 +97,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             max_vocab_size=max_vocab_size,
             use_approximate_search=use_approximate_search,
             search_block=search_block,
+            normalizer=normalizer,
         )
         self.language = language
         self.callbacks: List[Callable] = []
