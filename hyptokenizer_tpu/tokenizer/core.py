@@ -160,6 +160,10 @@ class HyperbolicTokenizer:
     def encode(self, text: str) -> List[int]:
         return self._get_encoder().encode(text)
 
+    def encode_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batch encode (one threaded native call; see encode.Encoder)."""
+        return self._get_encoder().encode_batch(texts)
+
     def decode(self, ids: Sequence[int]) -> str:
         return self._get_encoder().decode(ids)
 

@@ -91,6 +91,14 @@ class _NativeEncoder:
         lib.he_encode.restype = ctypes.c_int
         lib.he_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        self._batch = getattr(lib, "he_encode_batch", None)
+        if self._batch is not None:
+            self._batch.restype = ctypes.c_int64
+            self._batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
         self._lib = lib
         self._h = lib.he_create()
 
@@ -115,6 +123,31 @@ class _NativeEncoder:
         if n < 0:
             raise RuntimeError("native encode failed")
         return list(out[:n])
+
+    def encode_batch(self, texts: Sequence[str],
+                     n_threads: int = 0) -> List[List[int]]:
+        """Threaded batch encode: one C call for the whole list."""
+        if self._batch is None or not texts:
+            return [self.encode(t) for t in texts]
+        blobs = [t.encode() for t in texts]
+        data = b"".join(blobs)
+        n = len(blobs)
+        offsets = (ctypes.c_int64 * (n + 1))()
+        pos = 0
+        for i, b in enumerate(blobs):
+            offsets[i] = pos
+            pos += len(b)
+        offsets[n] = pos
+        # Token count never exceeds codepoint count <= byte count.
+        cap = max(8, pos)
+        out = (ctypes.c_int * cap)()
+        out_offsets = (ctypes.c_int64 * (n + 1))()
+        total = self._batch(self._h, data, offsets, n, n_threads, out,
+                            out_offsets, cap)
+        if total < 0:
+            raise RuntimeError("native batch encode failed")
+        flat = out[:total]
+        return [flat[out_offsets[i]:out_offsets[i + 1]] for i in range(n)]
 
 
 class Encoder:
@@ -168,6 +201,32 @@ class Encoder:
         out: List[int] = []
         for seg in segs:
             out.extend(self._native.encode(seg))
+        return out
+
+    def encode_batch(self, texts: Sequence[str],
+                     n_threads: int = 0) -> List[List[int]]:
+        """Encode many texts in one native call (threaded across texts).
+
+        Semantics are exactly ``[self.encode(t) for t in texts]``; the native
+        path amortises the FFI boundary and fans out across CPU threads
+        (encoding is read-only on the rule table).
+        """
+        if self._native is None:
+            return [self.encode_py(t) for t in texts]
+        if self.normalizer is None:
+            return self._native.encode_batch(texts, n_threads=n_threads)
+        # Normalize + pre-split host-side, batch the segments, regroup.
+        seg_lists = [norm_lib.apply(t, self.normalizer) for t in texts]
+        flat = [s for segs in seg_lists for s in segs]
+        enc = self._native.encode_batch(flat, n_threads=n_threads)
+        out: List[List[int]] = []
+        pos = 0
+        for segs in seg_lists:
+            ids: List[int] = []
+            for _ in segs:
+                ids.extend(enc[pos])
+                pos += 1
+            out.append(ids)
         return out
 
     def encode_py(self, text: str) -> List[int]:

@@ -9,17 +9,20 @@
 // observable (it differs from single-pass backtracking) and must not be
 // "optimised" away.
 //
-// Internally tokens are interned to int32 ids; unknown codepoints get
-// distinct negative ids (they can never match a rule, since every rule
-// operand is an interned vocab string) and map to <unk> on output.
+// Internally tokens are interned to int32 ids; unknown codepoints map to a
+// sentinel id (they can never match a rule, since every rule operand is an
+// interned vocab string) and to <unk> on output. Encoding never mutates the
+// table, so the batch entry point fans texts out across threads.
 //
 // C ABI (ctypes-friendly): he_create / he_add_rule / he_add_vocab /
-// he_set_unk / he_encode / he_destroy. See hyptokenizer_tpu/tokenizer/
-// encode.py for the python binding.
+// he_set_unk / he_encode / he_encode_batch / he_destroy. See
+// hyptokenizer_tpu/tokenizer/encode.py for the python binding.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -55,6 +58,12 @@ inline uint64_t pair_key(int32_t a, int32_t b) {
          static_cast<uint32_t>(b);
 }
 
+// Sentinel for codepoints absent from the intern table. Interned ids are
+// non-negative, so the sentinel can never match a rule operand — which is
+// exactly the semantics of the reference's <unk> fallback (they also cannot
+// merge with anything, since every rule operand is a vocab string).
+constexpr int32_t kUnknown = INT32_MIN;
+
 // Splits UTF-8 bytes into codepoint substrings (invalid bytes pass through
 // as single bytes, matching python's per-character iteration of decoded
 // text for well-formed input).
@@ -64,6 +73,54 @@ inline size_t utf8_len(unsigned char c) {
   if ((c >> 4) == 0xE) return 3;
   if ((c >> 3) == 0x1E) return 4;
   return 1;
+}
+
+// Tokenizes utf8[0:len) into interned token ids (read-only w.r.t. the
+// Encoder — safe to call concurrently). Same fixpoint multi-pass first-match
+// merge application as the python reference (hyperbolic_merge.py:414-446).
+void encode_tokens(const Encoder& e, const char* utf8, size_t len,
+                   std::vector<int32_t>& toks, std::string& buf) {
+  toks.clear();
+  toks.reserve(len);
+
+  size_t i = 0;
+  while (i < len) {
+    size_t n = utf8_len(static_cast<unsigned char>(utf8[i]));
+    if (i + n > len) n = 1;
+    buf.assign(utf8 + i, n);
+    auto it = e.intern.find(buf);
+    toks.push_back(it != e.intern.end() ? it->second : kUnknown);
+    i += n;
+  }
+
+  bool changed = !toks.empty() && !e.rules.empty();
+  while (changed) {
+    changed = false;
+    size_t w = 0;  // write cursor (in-place compaction per pass)
+    size_t r = 0;
+    size_t n = toks.size();
+    while (r < n) {
+      int32_t cur = toks[r];
+      // Cascade at this position: keep merging cur with the next token, as
+      // the python loop does by not advancing i after a replacement.
+      size_t nxt = r + 1;
+      while (nxt < n) {
+        auto it = e.rules.find(pair_key(cur, toks[nxt]));
+        if (it == e.rules.end()) break;
+        cur = it->second;
+        ++nxt;
+        changed = true;
+      }
+      toks[w++] = cur;
+      r = nxt;
+    }
+    toks.resize(w);
+  }
+}
+
+inline int32_t to_vocab_id(const Encoder& e, int32_t tok) {
+  int32_t v = tok >= 0 ? e.out_id[tok] : -1;
+  return v >= 0 ? v : e.unk_id;
 }
 
 }  // namespace
@@ -100,51 +157,69 @@ int32_t he_encode(void* h, const char* utf8, int32_t len, int32_t* out,
                   int32_t cap) {
   auto* e = static_cast<Encoder*>(h);
   std::vector<int32_t> toks;
-  toks.reserve(static_cast<size_t>(len));
-
-  // Codepoint split + intern lookup (unknown codepoints are interned too, so
-  // repeated unknowns are cheap; their out_id stays -1).
-  size_t i = 0;
   std::string buf;
-  while (i < static_cast<size_t>(len)) {
-    size_t n = utf8_len(static_cast<unsigned char>(utf8[i]));
-    if (i + n > static_cast<size_t>(len)) n = 1;
-    buf.assign(utf8 + i, n);
-    toks.push_back(e->intern_token(buf));
-    i += n;
-  }
-
-  // Fixpoint multi-pass first-match merge application.
-  bool changed = !toks.empty() && !e->rules.empty();
-  while (changed) {
-    changed = false;
-    size_t w = 0;  // write cursor (in-place compaction per pass)
-    size_t r = 0;
-    size_t n = toks.size();
-    while (r < n) {
-      int32_t cur = toks[r];
-      // Cascade at this position: keep merging cur with the next token, as
-      // the python loop does by not advancing i after a replacement.
-      size_t nxt = r + 1;
-      while (nxt < n) {
-        auto it = e->rules.find(pair_key(cur, toks[nxt]));
-        if (it == e->rules.end()) break;
-        cur = it->second;
-        ++nxt;
-        changed = true;
-      }
-      toks[w++] = cur;
-      r = nxt;
-    }
-    toks.resize(w);
-  }
-
+  encode_tokens(*e, utf8, static_cast<size_t>(len), toks, buf);
   if (static_cast<int32_t>(toks.size()) > cap) return -1;
-  for (size_t k = 0; k < toks.size(); ++k) {
-    int32_t v = e->out_id[toks[k]];
-    out[k] = v >= 0 ? v : e->unk_id;
-  }
+  for (size_t k = 0; k < toks.size(); ++k) out[k] = to_vocab_id(*e, toks[k]);
   return static_cast<int32_t>(toks.size());
+}
+
+// Encodes n_texts texts concatenated in data (text t = bytes
+// offsets[t]..offsets[t+1]) using up to n_threads worker threads
+// (0 = hardware concurrency). Writes ids to out and per-text boundaries to
+// out_offsets[0..n_texts] (out_offsets[0] = 0). Returns the total id count,
+// or -1 if it would exceed cap.
+int64_t he_encode_batch(void* h, const char* data, const int64_t* offsets,
+                        int32_t n_texts, int32_t n_threads, int32_t* out,
+                        int64_t* out_offsets, int64_t cap) {
+  auto* e = static_cast<Encoder*>(h);
+  if (n_texts <= 0) {
+    if (out_offsets) out_offsets[0] = 0;
+    return 0;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nt = n_threads > 0 ? static_cast<size_t>(n_threads)
+                            : (hw ? hw : 1);
+  nt = std::min(nt, static_cast<size_t>(n_texts));
+
+  std::vector<std::vector<int32_t>> results(n_texts);
+  auto worker = [&](size_t first, size_t last) {
+    std::string buf;
+    for (size_t t = first; t < last; ++t) {
+      size_t len = static_cast<size_t>(offsets[t + 1] - offsets[t]);
+      encode_tokens(*e, data + offsets[t], len, results[t], buf);
+    }
+  };
+  if (nt <= 1) {
+    worker(0, static_cast<size_t>(n_texts));
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    // Block partition: adjacent texts stay on one thread (cache-friendly for
+    // line-shaped corpora where neighbours have similar cost).
+    size_t per = (static_cast<size_t>(n_texts) + nt - 1) / nt;
+    for (size_t k = 0; k < nt; ++k) {
+      size_t first = k * per;
+      size_t last = std::min(first + per, static_cast<size_t>(n_texts));
+      if (first >= last) break;
+      threads.emplace_back(worker, first, last);
+    }
+    for (auto& th : threads) th.join();
+  }
+
+  int64_t total = 0;
+  out_offsets[0] = 0;
+  for (int32_t t = 0; t < n_texts; ++t) {
+    total += static_cast<int64_t>(results[t].size());
+    out_offsets[t + 1] = total;
+  }
+  if (total > cap) return -1;
+  for (int32_t t = 0; t < n_texts; ++t) {
+    int32_t* dst = out + out_offsets[t];
+    const auto& toks = results[t];
+    for (size_t k = 0; k < toks.size(); ++k) dst[k] = to_vocab_id(*e, toks[k]);
+  }
+  return total;
 }
 
 }  // extern "C"

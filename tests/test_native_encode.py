@@ -63,6 +63,30 @@ def test_native_empty_and_long():
     assert ids == [2] * 50_000
 
 
+def test_batch_matches_single():
+    rng = random.Random(11)
+    vocab, merges = build_random_tokenizer(rng, n_merges=60)
+    enc = Encoder(vocab, merges, use_native=True)
+    texts = ["".join(rng.choice("abcdefgh xyz")
+                     for _ in range(rng.randint(0, 80)))
+             for _ in range(200)] + ["", "日本 ab"]
+    expect = [enc.encode(t) for t in texts]
+    for n_threads in (0, 1, 4):
+        assert enc.encode_batch(texts, n_threads=n_threads) == expect
+    assert enc.encode_batch([]) == []
+
+
+def test_batch_with_normalizer():
+    from hyptokenizer_tpu.tokenizer.normalize import (
+        NormalizerConfig, WHITESPACE)
+    vocab, merges = build_random_tokenizer(random.Random(3), n_merges=40)
+    cfg = NormalizerConfig(lowercase=True, pre_split=WHITESPACE)
+    enc = Encoder(vocab, merges, use_native=True, normalizer=cfg)
+    texts = ["AB cd  EF", "", "gh", "  a  "]
+    assert enc.encode_batch(texts) == [enc.encode(t) for t in texts]
+    assert enc.encode_batch(texts) == [enc.encode_py(t) for t in texts]
+
+
 def test_native_throughput_exceeds_python():
     import time
     vocab, merges = build_random_tokenizer(random.Random(1), n_merges=100)
