@@ -61,11 +61,15 @@ class TokenizerAdapter:
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
 
     def batch_encode(self, texts: List[str], max_length: int = 128) -> Dict:
+        if self.method == "hyperbolic":
+            all_ids = self.tokenizer.encode_batch(texts)
+        else:
+            all_ids = [e.ids for e in self.hf.encode_batch(texts)]
         out = {"input_ids": [], "attention_mask": []}
-        for t in texts:
-            e = self.encode(t, max_length)
-            out["input_ids"].append(e["input_ids"])
-            out["attention_mask"].append(e["attention_mask"])
+        for ids in all_ids:
+            ids = ids[:max_length]
+            out["input_ids"].append(ids)
+            out["attention_mask"].append([1] * len(ids))
         return out
 
     def get_vocab_size(self) -> int:
