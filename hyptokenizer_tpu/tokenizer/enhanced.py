@@ -232,6 +232,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 base=self.enh_config.base.replace(adaptive_threshold=False))
         done = 0
         zero_chunks = 0
+        train_seconds = 0.0
+        start_merges = len(self.merge_history)
         while done < steps:
             if target_vocab_size is not None and \
                     len(self.vocab) >= target_vocab_size:
@@ -250,6 +252,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 logger.info("No more merge candidates found. Stopping.")
                 break
             dt = time.perf_counter() - t0
+            train_seconds += dt
             done += chunk
             self.current_phase = int(self.enh_state.phase)
             stat = {
@@ -272,6 +275,28 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 break
         self.merge_threshold = float(self.state.threshold)
         self.curvature = float(self.state.curvature)
+        # Run summary with the headline metrics (BASELINE.md: merge steps/s
+        # and corpus bytes/s/chip — corpus bytes converted into a trained
+        # tokenizer per second of merge-loop time, per participating chip).
+        corpus_bytes = sum(len(t.encode("utf-8")) for t in self.corpus_sample)
+        n_chips = max(1, len(jax.devices()))
+        merges = len(self.merge_history) - start_merges
+        if train_seconds > 0:
+            summary = {
+                "summary": True,
+                "train_seconds": train_seconds,
+                "merges": merges,
+                "merges_per_sec": merges / train_seconds,
+                "corpus_bytes": corpus_bytes,
+                "corpus_bytes_per_sec_per_chip":
+                    corpus_bytes / train_seconds / n_chips,
+            }
+            self.training_stats.append(summary)
+            logger.info(
+                "training summary: %(merges)d merges in %(train_seconds).1fs "
+                "= %(merges_per_sec).1f merges/s, "
+                "%(corpus_bytes_per_sec_per_chip).0f corpus bytes/s/chip",
+                summary)
 
     # ----------------------------------------------------------------- persist
     @property
