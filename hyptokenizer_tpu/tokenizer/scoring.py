@@ -265,10 +265,12 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
     :func:`match_rules`), resolves overlapping matches with the greedy
     left-to-right parity rule, substitutes, compacts, and repeats until a
     pass changes nothing — the same fixpoint first-match semantics as
-    ``tokenize()`` (hyperbolic_merge.py:433-445). This is exact, not an
-    approximation: within-chunk rule chains resolve across passes, and later
-    rules can never enable earlier ones (every rule's operand ids predate
-    every later merge's new id), so fixpoint == sequential replay order.
+    ``tokenize()`` (hyperbolic_merge.py:433-445): when matches of different
+    in-chunk rules overlap, the LEFTMOST wins (position priority, not merge
+    order) — exactly how the reference's own corpus statistics behave, since
+    they re-tokenize with the full rule dict (frequency_aware_…:92-112).
+    Within-chunk rule chains resolve across passes. Verified exact against a
+    python tokenize-fixpoint oracle (tests/test_scoring.py).
     O(passes * N * count) compares; passes ~= chain depth (typically < 10).
 
     Termination refinement: merging always interposes a *new* id between its

@@ -182,3 +182,63 @@ def test_train_config_roundtrip(tmp_path):
     assert cfg3 == cfg
     kw = cfg.tokenizer_kwargs()
     assert kw["alpha"] == 0.5 and kw["max_vocab_size"] == cfg.max_vocab_size
+
+
+def test_batch_replay_matches_tokenize_fixpoint_oracle():
+    """Chunked batch_fixpoint_replay == the reference's tokenize() fixpoint
+    semantics (multi-pass leftmost-first-match with cascade,
+    hyperbolic_merge.py:433-445) applied chunk-by-chunk. In particular, when
+    matches of different in-chunk rules overlap, the LEFTMOST wins — not the
+    earlier merge."""
+    import random
+
+    def tokenize_fixpoint(c, rules):
+        toks = list(c)
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i < len(toks) - 1:
+                key = (toks[i], toks[i + 1])
+                if toks[i] >= 0 and toks[i + 1] >= 0 and key in rules:
+                    toks[i] = rules[key]
+                    toks.pop(i + 1)
+                    changed = True
+                else:
+                    i += 1
+        return toks
+
+    rng = random.Random(0)
+    MAXV = 64
+    n_init = 8
+    for trial in range(15):
+        N = rng.randint(10, 120)
+        corpus = [rng.randrange(n_init) for _ in range(N)]
+        for k in range(0, N, rng.randint(5, 15)):
+            corpus[k] = -2
+        merges, seen = [], set()
+        for k in range(rng.randint(1, 20)):
+            a = rng.randrange(n_init + k)
+            b = rng.randrange(n_init + k)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            merges.append([a, b])
+        K = len(merges)
+        pad = 160
+        dev = jnp.full((pad,), -1, jnp.int32).at[:N].set(
+            jnp.asarray(corpus, jnp.int32))
+        mergearr = jnp.full((32, 2), -1, jnp.int32).at[:K].set(
+            jnp.asarray(merges, jnp.int32))
+        ref = list(corpus)
+        start = 0
+        while start < K:
+            cnt = min(rng.randint(1, 6), K - start)
+            rules = {(merges[k][0], merges[k][1]): n_init + k
+                     for k in range(start, start + cnt)}
+            ref = tokenize_fixpoint(ref, rules)
+            dev = S.batch_fixpoint_replay(dev, mergearr, start, cnt,
+                                          n_init, MAXV)
+            start += cnt
+        got = [int(x) for x in np.asarray(dev) if int(x) != -1]
+        assert got == ref, (trial, corpus, merges)
