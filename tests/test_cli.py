@@ -126,3 +126,45 @@ def test_baselines_cli(corpus_file, tmp_path):
         "--input-file", corpus_file, "--output-dir", out,
         "--vocab-size", "100", "--kinds", "bpe"])
     assert os.path.exists(os.path.join(out, "baseline_stats.json"))
+
+
+def test_train_nlp_tasks_mlm(trained_dir, corpus_file, tmp_path):
+    from hyptokenizer_tpu.cli import train_nlp_tasks
+    out = str(tmp_path / "nlp")
+    train_nlp_tasks.main([
+        "--method", "hyperbolic", "--model-path", trained_dir,
+        "--task", "mlm", "--train-text", corpus_file,
+        "--val-text", corpus_file, "--output-dir", out,
+        "--hidden-size", "32", "--num-layers", "1", "--num-heads", "2",
+        "--max-length", "24", "--epochs", "1", "--batch-size", "8",
+        "--max-lines", "12"])
+    results = json.load(open(os.path.join(out, "nlp_results.json")))
+    assert results["mlm_val_perplexity"] > 0
+
+
+def test_train_nlp_tasks_classification(trained_dir, tmp_path):
+    from hyptokenizer_tpu.cli import train_nlp_tasks
+    cls = tmp_path / "cls.tsv"
+    rows = [("0", "the cat sat on the mat"), ("1", "a dog ran to the log"),
+            ("0", "the cat and the rat"), ("1", "the dog sat together")] * 4
+    cls.write_text("\n".join(f"{a}\t{b}" for a, b in rows))
+    out = str(tmp_path / "nlp_cls")
+    train_nlp_tasks.main([
+        "--method", "hyperbolic", "--model-path", trained_dir,
+        "--task", "classification", "--train-cls", str(cls),
+        "--output-dir", out, "--hidden-size", "32", "--num-layers", "1",
+        "--num-heads", "2", "--max-length", "16", "--epochs", "1",
+        "--batch-size", "8", "--max-lines", "16"])
+    results = json.load(open(os.path.join(out, "nlp_results.json")))
+    assert 0.0 <= results["classification_accuracy"] <= 1.0
+
+
+def test_bench_scaling_cli(capsys):
+    from hyptokenizer_tpu.cli import bench_scaling
+    bench_scaling.main(["--max-vocab-size", "256", "--n-init", "64",
+                        "--embedding-dim", "8", "--steps", "32",
+                        "--warmup", "8"])
+    out = capsys.readouterr().out
+    data = json.loads(out.strip().splitlines()[-1])
+    assert "steps_per_sec_by_devices" in data
+    assert all(v > 0 for v in data["steps_per_sec_by_devices"].values())
