@@ -47,6 +47,11 @@ def main(argv=None):
                    help="--no-use-dense-channel restricts merges to corpus "
                         "pairs (BPE-like; avoids geometric chain merges "
                         "filling the vocab tail)")
+    p.add_argument("--pre-split", choices=["none", "whitespace", "words"],
+                   default="none",
+                   help="lossless regex pre-split: merges never cross "
+                        "segment boundaries (words = GPT-2-style leading-"
+                        "space word units); applied at train AND encode time")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -60,8 +65,15 @@ def main(argv=None):
                                      args.curvature, args.init_sigma,
                                      args.seed)
     emb = maybe_pretrain_embeddings(args, vocab, emb)
+    normalizer = None
+    if args.pre_split != "none":
+        from hyptokenizer_tpu.tokenizer.normalize import (
+            NormalizerConfig, WHITESPACE, WORDS_WITH_SPACE)
+        normalizer = NormalizerConfig(pre_split={
+            "whitespace": WHITESPACE, "words": WORDS_WITH_SPACE,
+        }[args.pre_split])
     tok = EnhancedHyperbolicTokenizer(
-        vocab, emb, curvature=args.curvature,
+        vocab, emb, normalizer=normalizer, curvature=args.curvature,
         merge_threshold=args.merge_threshold,
         max_vocab_size=args.max_vocab_size,
         use_frequency_aware=args.use_frequency_aware,

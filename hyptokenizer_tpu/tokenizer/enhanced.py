@@ -198,11 +198,19 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
     def _encode_initial_corpus(self, texts: List[str],
                                corpus_max_tokens: int) -> jax.Array:
         from hyptokenizer_tpu.utils import data
+        from hyptokenizer_tpu.tokenizer import normalize as norm_lib
         # SEP between lines: no cross-line pairs (frequency_aware_…:92-112).
+        # With a pre-splitting normalizer, SEP also separates segments so
+        # training candidates match the encode path's merge boundaries.
+        pre_split = None
+        if self.normalizer is not None:
+            texts = [norm_lib.normalize(t, self.normalizer) for t in texts]
+            pre_split = self.normalizer.pre_split
         return jnp.asarray(data.encode_corpus_chars(
             texts, self.vocab, corpus_max_tokens,
             unk_id=self.token2idx.get("<unk>", 3),
-            sep_id=int(scoring.SEP_ID), pad_id=int(scoring.PAD_ID)))
+            sep_id=int(scoring.SEP_ID), pad_id=int(scoring.PAD_ID),
+            pre_split=pre_split))
 
     # ---------------------------------------------------------------- training
     def register_callback(self, fn: Callable[[Dict], None]) -> None:

@@ -529,11 +529,15 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
                     max_pair_count=max_count)
 
     # Sparse channel: decode pairs, compute distances and full scores.
+    # Self-pairs (a, a) are valid corpus candidates — 'aa' from adjacent
+    # identical tokens (doubled letters etc.); their distance is ~0. Only the
+    # reference's *geometric* candidate matrix excludes the diagonal (its
+    # triu mask, hyperbolic_merge.py:258); corpus pairs are real occurrences.
     valid = keys != jnp.uint32(0xFFFFFFFF)
     rows = jnp.where(valid, (keys // jnp.uint32(max_v)).astype(jnp.int32), 0)
     cols = jnp.where(valid, (keys % jnp.uint32(max_v)).astype(jnp.int32), 0)
     dists = L.distance(base.emb[rows], base.emb[cols], base.curvature)
-    dists = jnp.where(valid & (rows != cols), dists, INF)
+    dists = jnp.where(valid, dists, INF)
 
     key, sub = jax.random.split(st.key)
     score3 = _full_scores(st, config, rows, cols, dists,

@@ -89,20 +89,35 @@ def save_vocab(vocab: List[str], path: str) -> None:
 
 def encode_corpus_chars(texts: Iterable[str], vocab: List[str],
                         max_tokens: int, unk_id: int = 3,
-                        sep_id: int = -2, pad_id: int = -1) -> np.ndarray:
+                        sep_id: int = -2, pad_id: int = -1,
+                        pre_split: Optional[str] = None) -> np.ndarray:
     """Char-encode lines into a fixed-size id array with SEP between lines.
 
     The shared corpus representation of the enhanced scorer and the RSGD
     embedding trainer (PAD=-1 tail, SEP=-2 line separators; see
     tokenizer/scoring.py).
+
+    ``pre_split``: optional regex (tokenizer/normalize.py) — SEPs are also
+    inserted between the lossless segments of each line, so merge candidates
+    (adjacent corpus pairs) never cross a segment boundary. This is the
+    training-side counterpart of the encode path's pre-splitting: a tokenizer
+    trained this way with ``normalizer=NormalizerConfig(pre_split=...)``
+    tokenizes exactly the units it was trained on, and stays lossless (every
+    character, separators included, belongs to a segment).
     """
     t2i = {}
     for i, t in enumerate(vocab):
         t2i.setdefault(t, i)
     ids: List[int] = []
     for text in texts:
-        ids.extend(t2i.get(ch, unk_id) for ch in text)
-        ids.append(sep_id)
+        if pre_split is not None:
+            from hyptokenizer_tpu.tokenizer.normalize import segments
+            for seg in segments(text, pre_split):
+                ids.extend(t2i.get(ch, unk_id) for ch in seg)
+                ids.append(sep_id)
+        else:
+            ids.extend(t2i.get(ch, unk_id) for ch in text)
+            ids.append(sep_id)
         if len(ids) >= max_tokens:
             break
     ids = ids[:max_tokens]

@@ -154,3 +154,31 @@ def test_corpus_sync_exact():
     got = corpus
     want = ids[: len(got)] if len(ids) > len(got) else ids
     assert got == want
+
+
+def test_pre_split_training_confines_merges():
+    """With a whitespace pre-split normalizer, training candidates never
+    cross a word boundary: no merged token mixes space and non-space."""
+    import jax
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer.normalize import (
+        NormalizerConfig, WHITESPACE)
+
+    corpus = ["aa bb aa bb", "aa aa  bb", "bb aa bb aa"] * 4
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>", "a", "b", " "]
+    emb = L.random_points(jax.random.PRNGKey(0), len(vocab), 8, sigma=0.5)
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb, merge_threshold=50.0, max_vocab_size=64,
+        search_block=64, corpus_sample=corpus, corpus_max_tokens=256,
+        use_hierarchical=False, use_adaptive_curvature=False,
+        use_compression_aware=False, use_dense_channel=False,
+        min_pair_freq=1, merge_batch=4, seed=0,
+        normalizer=NormalizerConfig(pre_split=WHITESPACE))
+    tok.optimize_merges(steps=20, log_every=10)
+    assert tok.merge_history, "expected at least one merge"
+    for _, _, merged in tok.merge_history:
+        assert merged.isspace() or " " not in merged, merged
+    # Encode path is lossless and uses the same boundaries.
+    text = "aa bb  aa"
+    assert tok.decode(tok.encode(text)) == text
