@@ -47,6 +47,11 @@ def main(argv=None):
                    help="--no-use-dense-channel restricts merges to corpus "
                         "pairs (BPE-like; avoids geometric chain merges "
                         "filling the vocab tail)")
+    p.add_argument("--merge-policy", choices=["fixpoint", "priority"],
+                   default="fixpoint",
+                   help="encode-time merge order: fixpoint = the reference's "
+                        "multi-pass first-match scan; priority = classic BPE "
+                        "rank order (reproduces the training trajectory)")
     p.add_argument("--pre-split", choices=["none", "whitespace", "words"],
                    default="none",
                    help="lossless regex pre-split: merges never cross "
@@ -73,7 +78,8 @@ def main(argv=None):
             "whitespace": WHITESPACE, "words": WORDS_WITH_SPACE,
         }[args.pre_split])
     tok = EnhancedHyperbolicTokenizer(
-        vocab, emb, normalizer=normalizer, curvature=args.curvature,
+        vocab, emb, normalizer=normalizer, merge_policy=args.merge_policy,
+        curvature=args.curvature,
         merge_threshold=args.merge_threshold,
         max_vocab_size=args.max_vocab_size,
         use_frequency_aware=args.use_frequency_aware,

@@ -54,10 +54,15 @@ class HyperbolicTokenizer:
         adaptive_threshold: bool = True,
         search_block: int = 512,
         normalizer=None,
+        merge_policy: str = "fixpoint",
     ):
         if len(vocab) > max_vocab_size:
             raise ValueError("initial vocab larger than max_vocab_size")
         self.normalizer = normalizer  # Optional[NormalizerConfig]; None = raw
+        # "fixpoint" = the reference's multi-pass first-match scan (conformance
+        # default); "priority" = classic BPE rank order, which reproduces the
+        # chunked training trajectory (encode.tokenize_priority_py).
+        self.merge_policy = merge_policy
         self.vocab: List[str] = list(vocab)
         self.curvature = float(curvature)
         self.merge_threshold = float(merge_threshold)
@@ -151,7 +156,8 @@ class HyperbolicTokenizer:
     def _get_encoder(self) -> Encoder:
         if self._encoder is None:
             self._encoder = Encoder(self.vocab, self.merge_history,
-                                    normalizer=self.normalizer)
+                                    normalizer=self.normalizer,
+                                    merge_policy=self.merge_policy)
         return self._encoder
 
     def tokenize(self, text: str) -> List[str]:
@@ -193,6 +199,8 @@ class HyperbolicTokenizer:
             "max_vocab_size": self.max_vocab_size,
             "use_approximate_search": self.use_approximate_search,
         }
+        if self.merge_policy != "fixpoint":
+            config["merge_policy"] = self.merge_policy
         if self.normalizer is not None:
             # Framework extension key; the reference's loader reads only the
             # keys it knows (hyperbolic_merge.py:516-529), so artifacts stay
@@ -230,6 +238,7 @@ class HyperbolicTokenizer:
             max_vocab_size=config.get("max_vocab_size", 100_000),
             use_approximate_search=config.get("use_approximate_search", True),
             normalizer=NormalizerConfig.from_json(config.get("normalizer")),
+            merge_policy=config.get("merge_policy", "fixpoint"),
         )
         # Replay merge history onto the host state; restore device arrays.
         tok.vocab = list(vocab)

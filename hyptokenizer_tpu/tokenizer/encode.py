@@ -57,6 +57,35 @@ def build_merge_rules(merge_history: Sequence[Tuple[str, str, str]]) -> Dict[Tup
     return {(a, b): m for a, b, m in merge_history}
 
 
+def tokenize_priority_py(text: str,
+                         rule_ranks: Dict[Tuple[str, str], Tuple[int, str]]
+                         ) -> List[str]:
+    """Priority-ordered (classic BPE) merge application.
+
+    Repeatedly merges the adjacent pair with the LOWEST merge rank (training
+    order), left-to-right within a rank. This reproduces the training
+    trajectory of the chunked merge loop — its corpus replay applies merges
+    chunk-by-chunk in rank order — where the reference's fixpoint scan
+    (``tokenize_py``) can take a different merge path once later rules
+    shadow earlier ones (e.g. ' th'+'e' blocking ' the').
+    """
+    tokens = list(text)
+    while len(tokens) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(tokens) - 1):
+            r = rule_ranks.get((tokens[i], tokens[i + 1]))
+            if r is not None and (best_rank is None or r[0] < best_rank):
+                best_rank = r[0]
+                best_i = i
+        if best_rank is None:
+            break
+        merged = rule_ranks[(tokens[best_i], tokens[best_i + 1])][1]
+        tokens[best_i] = merged
+        tokens.pop(best_i + 1)
+    return tokens
+
+
 def tokenize_py(text: str, merge_rules: Dict[Tuple[str, str], str]) -> List[str]:
     """Pure-python reference-semantics tokenizer (hyperbolic_merge.py:414-446)."""
     tokens = list(text)
@@ -91,6 +120,10 @@ class _NativeEncoder:
         lib.he_encode.restype = ctypes.c_int
         lib.he_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        self._set_policy = getattr(lib, "he_set_policy", None)
+        if self._set_policy is not None:
+            self._set_policy.restype = None
+            self._set_policy.argtypes = [ctypes.c_void_p, ctypes.c_int]
         self._batch = getattr(lib, "he_encode_batch", None)
         if self._batch is not None:
             self._batch.restype = ctypes.c_int64
@@ -108,12 +141,18 @@ class _NativeEncoder:
         except Exception:
             pass
 
-    def load(self, merge_rules, token2idx, unk_id):
-        for (a, b), m in merge_rules.items():
+    def load(self, merge_history, token2idx, unk_id, merge_policy="fixpoint"):
+        # Rules are added in merge-history order: the C ABI derives both the
+        # fixpoint dict-overwrite table and the priority ranks from it.
+        for a, b, m in merge_history:
             self._lib.he_add_rule(self._h, a.encode(), b.encode(), m.encode())
         for tok, idx in token2idx.items():
             self._lib.he_add_vocab(self._h, tok.encode(), idx)
         self._lib.he_set_unk(self._h, unk_id)
+        if merge_policy == "priority":
+            if self._set_policy is None:
+                raise OSError("native library lacks he_set_policy; rebuild")
+            self._set_policy(self._h, 1)
 
     def encode(self, text: str) -> List[int]:
         data = text.encode()
@@ -161,11 +200,20 @@ class Encoder:
     def __init__(self, vocab: Sequence[str],
                  merge_history: Sequence[Tuple[str, str, str]],
                  use_native: Optional[bool] = None,
-                 normalizer: Optional[NormalizerConfig] = None):
+                 normalizer: Optional[NormalizerConfig] = None,
+                 merge_policy: str = "fixpoint"):
+        if merge_policy not in ("fixpoint", "priority"):
+            raise ValueError(f"unknown merge_policy {merge_policy!r}")
         self.normalizer = normalizer
+        self.merge_policy = merge_policy
         self.vocab = list(vocab)
         self.merge_history = [tuple(m) for m in merge_history]
         self.merge_rules = build_merge_rules(self.merge_history)
+        # Rank table for priority mode: first occurrence of a pair wins
+        # (later duplicates cannot fire before the earlier rank anyway).
+        self.rule_ranks: Dict[Tuple[str, str], Tuple[int, str]] = {}
+        for k, (a, b, m) in enumerate(self.merge_history):
+            self.rule_ranks.setdefault((a, b), (k, m))
         self.token2idx = {t: i for i, t in enumerate(self.vocab)}
         self.unk_id = self.token2idx.get(UNK_TOKEN, UNK_FALLBACK_ID)
         self._native = None
@@ -174,7 +222,8 @@ class Encoder:
         if use_native:
             try:
                 native = _NativeEncoder(_NATIVE_PATH)
-                native.load(self.merge_rules, self.token2idx, self.unk_id)
+                native.load(self.merge_history, self.token2idx, self.unk_id,
+                            merge_policy=self.merge_policy)
                 self._native = native
             except OSError:
                 self._native = None
@@ -183,13 +232,18 @@ class Encoder:
     def native_available(self) -> bool:
         return self._native is not None
 
+    def _tokenize_seg(self, seg: str) -> List[str]:
+        if self.merge_policy == "priority":
+            return tokenize_priority_py(seg, self.rule_ranks)
+        return tokenize_py(seg, self.merge_rules)
+
     def tokenize(self, text: str) -> List[str]:
         segs = norm_lib.apply(text, self.normalizer)
         if len(segs) == 1:
-            return tokenize_py(segs[0], self.merge_rules)
+            return self._tokenize_seg(segs[0])
         out: List[str] = []
         for seg in segs:
-            out.extend(tokenize_py(seg, self.merge_rules))
+            out.extend(self._tokenize_seg(seg))
         return out
 
     def encode(self, text: str) -> List[int]:

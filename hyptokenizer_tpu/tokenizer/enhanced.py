@@ -90,6 +90,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         use_dense_channel: bool = True,
         seed: int = 0,
         normalizer=None,
+        merge_policy: str = "fixpoint",
     ):
         super().__init__(
             vocab, embeddings, curvature=curvature,
@@ -98,6 +99,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             use_approximate_search=use_approximate_search,
             search_block=search_block,
             normalizer=normalizer,
+            merge_policy=merge_policy,
         )
         self.language = language
         self.callbacks: List[Callable] = []
@@ -113,6 +115,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             merge_batch=merge_batch,
             min_pair_freq=min_pair_freq,
             use_dense_channel=use_dense_channel,
+            priority_replay=(merge_policy == "priority"),
             use_frequency=use_frequency_aware,
             alpha=alpha, beta=beta, gamma=gamma,
             use_compression=use_compression_aware,

@@ -79,6 +79,11 @@ class EnhancedConfig:
     # from filling the vocab tail once frequent pairs are exhausted).
     min_pair_freq: int = struct.field(pytree_node=False, default=1)
     use_dense_channel: bool = struct.field(pytree_node=False, default=True)
+    # Corpus-replay order: False = the reference's tokenize() fixpoint
+    # (leftmost-first); True = merge-rank order (classic BPE), which makes the
+    # trained tokenizer's priority-mode encoder reproduce the training
+    # tokenization exactly (scoring.batch_rank_replay).
+    priority_replay: bool = struct.field(pytree_node=False, default=False)
 
     use_frequency: bool = struct.field(pytree_node=False, default=False)
     alpha: float = struct.field(pytree_node=False, default=0.4)
@@ -516,9 +521,12 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     base = st.base
     max_v = base.emb.shape[0]
 
-    # Batched fixpoint replay of the un-synced merge rules (encode()-semantics
-    # leftmost-match; a few O(N) passes instead of one per merge).
-    corpus = scoring.batch_fixpoint_replay(
+    # Batched replay of the un-synced merge rules (a few O(N) passes instead
+    # of one per merge): encode()-semantics leftmost-match by default, or
+    # merge-rank order when the tokenizer encodes in priority mode.
+    replay = (scoring.batch_rank_replay if config.priority_replay
+              else scoring.batch_fixpoint_replay)
+    corpus = replay(
         st.corpus, base.merges, st.corpus_synced,
         base.num_merges - st.corpus_synced, config.n_init, max_v)
     keys, counts, _, max_count = scoring.build_pair_table(

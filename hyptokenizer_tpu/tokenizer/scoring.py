@@ -323,6 +323,93 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
     return out
 
 
+def batch_rank_replay(corpus: jax.Array, merges: jax.Array,
+                      start, count, n_init: int, max_vocab: int) -> jax.Array:
+    """Apply merges [start, start+count) in RANK order (classic BPE).
+
+    Equivalent to applying each rule fully (left-to-right non-overlapping)
+    before the next — which equals priority-ordered encode
+    (encode.tokenize_priority_py): a new adjacency created by applying rank r
+    can only match a rule of rank > r (a rule referencing token t must
+    postdate the merge that created t), so by-rank sequential application is
+    order-consistent with "always apply the lowest applicable rank".
+
+    Vectorised as passes of maximal matchings: each pass matches all rules,
+    then iteratively selects matches that are local (rank, position) minima —
+    adjacent candidates always carry equal rank (both survive the strict-rank
+    suppression only if equal), where the left-to-right parity rule applies.
+    Unselected matches always lose an operand to a selected neighbour, so a
+    pass consumes every match it found; later passes only see new adjacencies
+    (within-chunk chains). Verified against a rank-sequential python oracle
+    (tests/test_scoring.py).
+    """
+    n = corpus.shape[0]
+    max_k = merges.shape[0]
+    ks = jnp.arange(max_k, dtype=jnp.int32)
+    in_chunk = (ks >= start) & (ks < start + count)
+    can_chain = jnp.any(
+        in_chunk & (jnp.max(merges, axis=1)
+                    >= jnp.asarray(n_init, jnp.int32) + start))
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def select_matching(m, pri):
+        """Maximal matching by (rank, pos): iterated local-minima rounds."""
+        def round_cond(carry):
+            alive, _ = carry
+            return jnp.any(alive)
+
+        def round_body(carry):
+            alive, sel = carry
+            big = jnp.int32(2**31 - 1)
+            p = jnp.where(alive, pri, big)
+            lp = jnp.roll(p, 1).at[0].set(big)
+            rp = jnp.roll(p, -1).at[-1].set(big)
+            cand = alive & (p <= lp) & (p <= rp)
+            # Adjacent cands have equal rank (same rule): leftmost parity.
+            prev_c = jnp.roll(cand, 1).at[0].set(False)
+            run_start = cand & ~prev_c
+            start_idx = jnp.where(run_start, idx, jnp.int32(-1))
+            last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+            take = cand & (((idx - last_start) % 2) == 0)
+            sel = sel | take
+            near = take | jnp.roll(take, 1).at[0].set(False) \
+                | jnp.roll(take, -1).at[-1].set(False)
+            return alive & ~near, sel
+
+        _, sel = jax.lax.while_loop(
+            round_cond, round_body, (m, jnp.zeros_like(m)))
+        return sel
+
+    def one_pass(c):
+        nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
+        valid = (c >= 0) & (nxt >= 0)
+        key = jnp.where(
+            valid,
+            c.astype(jnp.uint32) * jnp.uint32(max_vocab)
+            + nxt.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF))
+        mid = match_rules(key, merges, start, count, n_init, max_vocab)
+        m = valid & (mid >= 0)
+        applied = select_matching(m, mid)  # mid is monotone in rank
+        applied_prev = jnp.roll(applied, 1).at[0].set(False)
+        out = jnp.where(applied, mid, c)
+        out = jnp.where(applied_prev, PAD_ID, out)
+        return compact_corpus(out), jnp.any(applied)
+
+    def cond(carry):
+        _, changed, passes = carry
+        return changed & (can_chain | (passes < 1))
+
+    def body(carry):
+        c, _, passes = carry
+        c2, changed = one_pass(c)
+        return c2, changed, passes + 1
+
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (corpus, count > 0, jnp.asarray(0, jnp.int32)))
+    return out
+
+
 def corpus_token_count(corpus: jax.Array) -> jax.Array:
     return jnp.sum(corpus >= 0).astype(jnp.int32)
 

@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -37,11 +38,19 @@ struct PairHash {
   }
 };
 
+struct Rule {
+  int32_t merged;      // latest merged id (fixpoint: dict-overwrite semantics)
+  int32_t rank;        // first insertion rank (priority: first-wins)
+  int32_t merged_first;  // merged id of the first insertion (priority mode)
+};
+
 struct Encoder {
   std::unordered_map<std::string, int32_t> intern;   // token string -> intern id
   std::vector<int32_t> out_id;                       // intern id -> vocab id (-1 unk)
-  std::unordered_map<uint64_t, int32_t, PairHash> rules;  // (a,b) -> merged
+  std::unordered_map<uint64_t, Rule, PairHash> rules;  // (a,b) -> rule
   int32_t unk_id = 3;
+  int32_t n_rules = 0;
+  int32_t policy = 0;  // 0 = fixpoint (reference), 1 = priority (BPE rank)
 
   int32_t intern_token(const std::string& s) {
     auto it = intern.find(s);
@@ -75,9 +84,55 @@ inline size_t utf8_len(unsigned char c) {
   return 1;
 }
 
+// Classic BPE: merge the lowest-rank adjacent pair first (leftmost among
+// equal ranks), until no rule applies. Doubly-linked list over positions +
+// a lazily-validated min-heap of (rank, position) candidates: O(L log L).
+void encode_tokens_priority(const Encoder& e, std::vector<int32_t>& toks) {
+  size_t n = toks.size();
+  if (n < 2 || e.rules.empty()) return;
+  std::vector<int32_t> nxt(n), prv(n);
+  for (size_t i = 0; i < n; ++i) {
+    nxt[i] = static_cast<int32_t>(i) + 1;
+    prv[i] = static_cast<int32_t>(i) - 1;
+  }
+  nxt[n - 1] = -1;
+  using Item = std::pair<int32_t, int32_t>;  // (rank, pos) — min first
+  std::priority_queue<Item, std::vector<Item>, std::greater<Item>> heap;
+  auto push_pair = [&](int32_t pos) {
+    int32_t np = nxt[pos];
+    if (np < 0) return;
+    auto it = e.rules.find(pair_key(toks[pos], toks[np]));
+    if (it != e.rules.end()) heap.emplace(it->second.rank, pos);
+  };
+  for (size_t i = 0; i + 1 < n; ++i) push_pair(static_cast<int32_t>(i));
+  std::vector<bool> dead(n, false);
+  while (!heap.empty()) {
+    auto [rank, pos] = heap.top();
+    heap.pop();
+    if (dead[pos]) continue;
+    int32_t np = nxt[pos];
+    if (np < 0) continue;
+    auto it = e.rules.find(pair_key(toks[pos], toks[np]));
+    if (it == e.rules.end() || it->second.rank != rank) continue;  // stale
+    toks[pos] = it->second.merged_first;
+    dead[np] = true;
+    nxt[pos] = nxt[np];
+    if (nxt[np] >= 0) prv[nxt[np]] = pos;
+    if (prv[pos] >= 0) push_pair(prv[pos]);
+    push_pair(pos);
+  }
+  size_t w = 0;
+  for (size_t i = 0; i < n; i = static_cast<size_t>(nxt[i])) {
+    toks[w++] = toks[i];
+    if (nxt[i] < 0) break;
+  }
+  toks.resize(w);
+}
+
 // Tokenizes utf8[0:len) into interned token ids (read-only w.r.t. the
-// Encoder — safe to call concurrently). Same fixpoint multi-pass first-match
-// merge application as the python reference (hyperbolic_merge.py:414-446).
+// Encoder — safe to call concurrently). Default policy: same fixpoint
+// multi-pass first-match merge application as the python reference
+// (hyperbolic_merge.py:414-446); policy 1 = priority (BPE rank) order.
 void encode_tokens(const Encoder& e, const char* utf8, size_t len,
                    std::vector<int32_t>& toks, std::string& buf) {
   toks.clear();
@@ -91,6 +146,11 @@ void encode_tokens(const Encoder& e, const char* utf8, size_t len,
     auto it = e.intern.find(buf);
     toks.push_back(it != e.intern.end() ? it->second : kUnknown);
     i += n;
+  }
+
+  if (e.policy == 1) {
+    encode_tokens_priority(e, toks);
+    return;
   }
 
   bool changed = !toks.empty() && !e.rules.empty();
@@ -107,7 +167,7 @@ void encode_tokens(const Encoder& e, const char* utf8, size_t len,
       while (nxt < n) {
         auto it = e.rules.find(pair_key(cur, toks[nxt]));
         if (it == e.rules.end()) break;
-        cur = it->second;
+        cur = it->second.merged;
         ++nxt;
         changed = true;
       }
@@ -143,12 +203,24 @@ void he_add_rule(void* h, const char* left, const char* right,
   int32_t a = e->intern_token(left);
   int32_t b = e->intern_token(right);
   int32_t m = e->intern_token(merged);
-  // Later duplicates overwrite (dict semantics, hyperbolic_merge.py:425-428).
-  e->rules[pair_key(a, b)] = m;
+  int32_t rank = e->n_rules++;
+  auto [it, inserted] = e->rules.emplace(pair_key(a, b), Rule{m, rank, m});
+  if (!inserted) {
+    // Fixpoint: later duplicates overwrite (dict semantics,
+    // hyperbolic_merge.py:425-428). Priority: the first rank/merged wins
+    // (an earlier rank always fires before a later duplicate could).
+    it->second.merged = m;
+  }
 }
 
 void he_set_unk(void* h, int32_t unk_id) {
   static_cast<Encoder*>(h)->unk_id = unk_id;
+}
+
+// 0 = fixpoint multi-pass first-match (reference semantics, default);
+// 1 = priority-ordered (classic BPE by merge rank).
+void he_set_policy(void* h, int32_t policy) {
+  static_cast<Encoder*>(h)->policy = policy;
 }
 
 // Encodes utf8[0:len) into out (capacity cap). Returns the number of ids

@@ -100,3 +100,43 @@ def test_native_throughput_exceeds_python():
     t_py = time.perf_counter() - t0
     assert ids_n == ids_p
     assert t_native < t_py  # typically 30-100x faster
+
+
+def test_priority_mode_differs_and_matches_ranks():
+    """Priority mode follows merge rank; fixpoint follows the leftmost scan.
+    With ranks (' ','t'), ('h','e'), (' t','h'), (' t','he'): the fixpoint
+    scan cascades ' t'+'h' -> ' th' and dead-ends at [' th', 'e'], while
+    rank order merges 'he' (rank 1) before ' th' (rank 2), reaching
+    ' t'+'he' -> ' the'."""
+    vocab = [" ", "t", "h", "e", " t", "he", " th", " the", "<unk>"]
+    merges = [(" ", "t", " t"), ("h", "e", "he"), (" t", "h", " th"),
+              (" t", "he", " the")]
+    fix = Encoder(vocab, merges, use_native=True)
+    pri = Encoder(vocab, merges, use_native=True, merge_policy="priority")
+    assert fix.tokenize(" the") == [" th", "e"]
+    assert pri.tokenize(" the") == [" the"]
+    assert pri.encode(" the") == pri.encode_py(" the")
+    assert fix.encode(" the") == fix.encode_py(" the")
+
+
+def test_priority_fuzz_native_matches_python():
+    rng = random.Random(23)
+    for trial in range(8):
+        vocab, merges = build_random_tokenizer(rng, n_merges=40)
+        enc = Encoder(vocab, merges, use_native=True,
+                      merge_policy="priority")
+        assert enc.native_available
+        for _ in range(25):
+            n = rng.randint(0, 60)
+            text = "".join(rng.choice("abcdefgh xyz") for _ in range(n))
+            assert enc.encode(text) == enc.encode_py(text), (trial, text)
+
+
+def test_priority_batch_matches_single():
+    rng = random.Random(5)
+    vocab, merges = build_random_tokenizer(rng, n_merges=50)
+    enc = Encoder(vocab, merges, use_native=True, merge_policy="priority")
+    texts = ["".join(rng.choice("abcdefgh ")
+                     for _ in range(rng.randint(0, 70))) for _ in range(100)]
+    assert enc.encode_batch(texts, n_threads=4) == [enc.encode_py(t)
+                                                    for t in texts]

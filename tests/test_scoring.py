@@ -242,3 +242,57 @@ def test_batch_replay_matches_tokenize_fixpoint_oracle():
             start += cnt
         got = [int(x) for x in np.asarray(dev) if int(x) != -1]
         assert got == ref, (trial, corpus, merges)
+
+
+def test_batch_rank_replay_matches_sequential_oracle():
+    """batch_rank_replay == applying each merge fully (left-to-right
+    non-overlapping) in rank order — the classic BPE trajectory that
+    priority-mode encode reproduces."""
+    import random
+
+    def seq_apply(c, a, b, nid):
+        out = []
+        i = 0
+        while i < len(c):
+            if (i + 1 < len(c) and c[i] == a and c[i + 1] == b
+                    and c[i] >= 0 and c[i + 1] >= 0):
+                out.append(nid)
+                i += 2
+            else:
+                out.append(c[i])
+                i += 1
+        return out
+
+    rng = random.Random(1)
+    MAXV = 64
+    n_init = 8
+    for trial in range(15):
+        N = rng.randint(10, 120)
+        corpus = [rng.randrange(n_init) for _ in range(N)]
+        for k in range(0, N, rng.randint(5, 15)):
+            corpus[k] = -2
+        merges, seen = [], set()
+        for k in range(rng.randint(1, 20)):
+            a = rng.randrange(n_init + k)
+            b = rng.randrange(n_init + k)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            merges.append([a, b])
+        K = len(merges)
+        ref = list(corpus)
+        for k, (a, b) in enumerate(merges):
+            ref = seq_apply(ref, a, b, n_init + k)
+        pad = 160
+        dev = jnp.full((pad,), -1, jnp.int32).at[:N].set(
+            jnp.asarray(corpus, jnp.int32))
+        mergearr = jnp.full((32, 2), -1, jnp.int32).at[:K].set(
+            jnp.asarray(merges, jnp.int32))
+        start = 0
+        while start < K:
+            cnt = min(rng.randint(1, 6), K - start)
+            dev = S.batch_rank_replay(dev, mergearr, start, cnt,
+                                      n_init, MAXV)
+            start += cnt
+        got = [int(x) for x in np.asarray(dev) if int(x) != -1]
+        assert got == ref, (trial, corpus, merges)
