@@ -72,6 +72,7 @@ def enhanced_state_shardings(mesh: Mesh, st):
         pair_keys=rep,
         pair_counts=rep,
         max_pair_count=rep,
+        pair_unique=rep,
         sp_dist=rep,
         sp_score=rep,
         sp_consumed=rep,

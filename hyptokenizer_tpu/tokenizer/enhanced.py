@@ -174,6 +174,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             pair_keys=pair_keys,
             pair_counts=pair_counts,
             max_pair_count=jnp.asarray(0, jnp.int32),
+            pair_unique=jnp.asarray(0, jnp.int32),
             sp_dist=sp_dist,
             sp_score=sp_score,
             sp_consumed=sp_consumed,
@@ -274,7 +275,15 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 "curvature": float(self.state.curvature),
                 "phase": self.current_phase,
                 "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
+                "pair_table_unique": int(self.enh_state.pair_unique),
             }
+            if stat["pair_table_unique"] > self.enh_config.freq_table_size:
+                logger.warning(
+                    "pair table overflow: %d unique corpus pairs > table "
+                    "size %d — lowest-count pairs dropped from this "
+                    "snapshot (raise freq_table_size)",
+                    stat["pair_table_unique"],
+                    self.enh_config.freq_table_size)
             self.training_stats.append(stat)
             logger.info("step %(step)d: vocab=%(vocab_size)d phase=%(phase)d "
                         "c=%(curvature).4f thr=%(threshold).5f "

@@ -156,6 +156,8 @@ class EnhancedState:
     pair_keys: jax.Array           # (T,) u32 sorted (key = a*max_V+b)
     pair_counts: jax.Array         # (T,) i32
     max_pair_count: jax.Array      # i32
+    pair_unique: jax.Array         # i32 — unique pairs BEFORE table clipping
+                                   # (> T means the snapshot dropped pairs)
 
     # Sparse corpus-pair candidate channel (aligned with pair_keys).
     sp_dist: jax.Array             # (T,) f32 current-curvature distance
@@ -529,12 +531,12 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     corpus = replay(
         st.corpus, base.merges, st.corpus_synced,
         base.num_merges - st.corpus_synced, config.n_init, max_v)
-    keys, counts, _, max_count = scoring.build_pair_table(
+    keys, counts, n_unique, max_count = scoring.build_pair_table(
         corpus, max_v, config.freq_table_size)
 
     st = st.replace(corpus=corpus, corpus_synced=base.num_merges,
                     pair_keys=keys, pair_counts=counts,
-                    max_pair_count=max_count)
+                    max_pair_count=max_count, pair_unique=n_unique)
 
     # Sparse channel: decode pairs, compute distances and full scores.
     # Self-pairs (a, a) are valid corpus candidates — 'aa' from adjacent

@@ -457,7 +457,9 @@ def build_pair_table(corpus: jax.Array, max_vocab: int, table_size: int):
     counts = jnp.where(ok, nbp_excl[hp_c] - hp_t, 0).astype(jnp.int32)
     n_unique = jnp.sum(head.astype(jnp.int32))
     max_count = jnp.max(counts)
-    return (keys_out, counts, jnp.minimum(n_unique, table_size), max_count)
+    # n_unique is the UNCLIPPED count: callers compare it against table_size
+    # to detect snapshot overflow (dropped candidates are a silent cap).
+    return (keys_out, counts, n_unique, max_count)
 
 
 def lookup_pair_counts(keys: jax.Array, table_keys: jax.Array,
