@@ -124,12 +124,25 @@ class _NativeEncoder:
         if self._set_policy is not None:
             self._set_policy.restype = None
             self._set_policy.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        self._set_presplit = getattr(lib, "he_set_presplit", None)
+        if self._set_presplit is not None:
+            self._set_presplit.restype = None
+            self._set_presplit.argtypes = [ctypes.c_void_p, ctypes.c_int]
         self._batch = getattr(lib, "he_encode_batch", None)
         if self._batch is not None:
             self._batch.restype = ctypes.c_int64
             self._batch.argtypes = [
                 ctypes.c_void_p, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
+        self._batch_seg = getattr(lib, "he_encode_batch_seg", None)
+        if self._batch_seg is not None:
+            self._batch_seg.restype = ctypes.c_int64
+            self._batch_seg.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64]
         self._lib = lib
@@ -141,7 +154,8 @@ class _NativeEncoder:
         except Exception:
             pass
 
-    def load(self, merge_history, token2idx, unk_id, merge_policy="fixpoint"):
+    def load(self, merge_history, token2idx, unk_id, merge_policy="fixpoint",
+             presplit_mode=0):
         # Rules are added in merge-history order: the C ABI derives both the
         # fixpoint dict-overwrite table and the priority ranks from it.
         for a, b, m in merge_history:
@@ -153,6 +167,10 @@ class _NativeEncoder:
             if self._set_policy is None:
                 raise OSError("native library lacks he_set_policy; rebuild")
             self._set_policy(self._h, 1)
+        if presplit_mode:
+            if self._set_presplit is None:
+                raise OSError("native library lacks he_set_presplit; rebuild")
+            self._set_presplit(self._h, presplit_mode)
 
     def encode(self, text: str) -> List[int]:
         data = text.encode()
@@ -188,6 +206,47 @@ class _NativeEncoder:
         flat = out[:total]
         return [flat[out_offsets[i]:out_offsets[i + 1]] for i in range(n)]
 
+    def encode_batch_seg(self, texts: Sequence[str],
+                         seg_starts_lists: Sequence[Sequence[int]],
+                         n_threads: int = 0) -> List[List[int]]:
+        """Batch encode with per-text segment-start byte offsets.
+
+        Merges never cross a segment start — equivalent to encoding each
+        segment separately and concatenating, in ONE native call. Offsets
+        must be byte offsets (callers use the ASCII fast path where char
+        offsets == byte offsets).
+        """
+        if self._batch_seg is None:
+            raise OSError("native library lacks he_encode_batch_seg; rebuild")
+        blobs = [t.encode() for t in texts]
+        data = b"".join(blobs)
+        n = len(blobs)
+        offsets = (ctypes.c_int64 * (n + 1))()
+        pos = 0
+        for i, b in enumerate(blobs):
+            offsets[i] = pos
+            pos += len(b)
+        offsets[n] = pos
+        n_starts = sum(len(s) for s in seg_starts_lists)
+        seg_starts = (ctypes.c_int64 * max(1, n_starts))()
+        seg_ptr = (ctypes.c_int64 * (n + 1))()
+        k = 0
+        for i, starts in enumerate(seg_starts_lists):
+            seg_ptr[i] = k
+            for s in starts:
+                seg_starts[k] = s
+                k += 1
+        seg_ptr[n] = k
+        cap = max(8, pos)
+        out = (ctypes.c_int * cap)()
+        out_offsets = (ctypes.c_int64 * (n + 1))()
+        total = self._batch_seg(self._h, data, offsets, n, n_threads,
+                                seg_starts, seg_ptr, out, out_offsets, cap)
+        if total < 0:
+            raise RuntimeError("native batch encode failed")
+        flat = out[:total]
+        return [flat[out_offsets[i]:out_offsets[i + 1]] for i in range(n)]
+
 
 class Encoder:
     """tokenize/encode/decode with reference semantics and a native fast path.
@@ -216,6 +275,15 @@ class Encoder:
             self.rule_ranks.setdefault((a, b), (k, m))
         self.token2idx = {t: i for i, t in enumerate(self.vocab)}
         self.unk_id = self.token2idx.get(UNK_TOKEN, UNK_FALLBACK_ID)
+        # Canonical pre-split patterns have a native ASCII segmenter: text
+        # that passes isascii() encodes in one native call with boundaries
+        # computed in C++ (no per-segment FFI/regex cost).
+        self._native_presplit = 0
+        if normalizer is not None and normalizer.pre_split is not None:
+            self._native_presplit = {
+                norm_lib.WHITESPACE: 1,
+                norm_lib.WORDS_WITH_SPACE: 2,
+            }.get(normalizer.pre_split, 0)
         self._native = None
         if use_native is None:
             use_native = ensure_native_built()
@@ -223,7 +291,8 @@ class Encoder:
             try:
                 native = _NativeEncoder(_NATIVE_PATH)
                 native.load(self.merge_history, self.token2idx, self.unk_id,
-                            merge_policy=self.merge_policy)
+                            merge_policy=self.merge_policy,
+                            presplit_mode=self._native_presplit)
                 self._native = native
             except OSError:
                 self._native = None
@@ -249,7 +318,13 @@ class Encoder:
     def encode(self, text: str) -> List[int]:
         if self._native is None:
             return self.encode_py(text)
-        segs = norm_lib.apply(text, self.normalizer)
+        if self.normalizer is None:
+            return self._native.encode(text)
+        normed = norm_lib.normalize(text, self.normalizer)
+        if self._native_presplit and normed.isascii():
+            return self._native.encode(normed)  # segments natively
+        segs = (list(norm_lib.segments(normed, self.normalizer.pre_split))
+                if self.normalizer.pre_split else [normed])
         if len(segs) == 1:
             return self._native.encode(segs[0])
         out: List[int] = []
@@ -269,7 +344,21 @@ class Encoder:
             return [self.encode_py(t) for t in texts]
         if self.normalizer is None:
             return self._native.encode_batch(texts, n_threads=n_threads)
-        # Normalize + pre-split host-side, batch the segments, regroup.
+        normed = [norm_lib.normalize(t, self.normalizer) for t in texts]
+        if self.normalizer.pre_split and all(t.isascii() for t in normed):
+            # ASCII fast paths: canonical patterns segment natively inside
+            # the batch call; other patterns hand the native encoder segment
+            # BOUNDARIES instead of segment substrings (char offset == byte
+            # offset for ASCII).
+            if self._native_presplit:
+                return self._native.encode_batch(normed, n_threads=n_threads)
+            if self._native._batch_seg is not None:
+                starts = [
+                    norm_lib.segment_starts(t, self.normalizer.pre_split)
+                    for t in normed]
+                return self._native.encode_batch_seg(normed, starts,
+                                                     n_threads=n_threads)
+        # General path: pre-split host-side, batch the segments, regroup.
         seg_lists = [norm_lib.apply(t, self.normalizer) for t in texts]
         flat = [s for segs in seg_lists for s in segs]
         enc = self._native.encode_batch(flat, n_threads=n_threads)

@@ -115,6 +115,26 @@ def segments(text: str, pattern: str) -> Iterator[str]:
         yield text[pos:]
 
 
+def segment_starts(text: str, pattern: str) -> List[int]:
+    """Character offsets where the segments of ``segments()`` begin.
+
+    Equivalent to accumulating ``len(seg)`` over ``segments(text, pattern)``
+    without building the substrings — the zero-allocation form used by the
+    native batch encoder (byte offsets == char offsets for ASCII text).
+    """
+    starts: List[int] = []
+    pos = 0
+    for m in re.finditer(pattern, text):
+        if m.start() > pos:
+            starts.append(pos)
+        if m.end() > m.start():
+            starts.append(m.start())
+        pos = max(pos, m.end())
+    if pos < len(text):
+        starts.append(pos)
+    return starts
+
+
 def apply(text: str, config: Optional[NormalizerConfig]) -> List[str]:
     """Normalize then pre-split: the segment list the encoder tokenizes.
 

@@ -140,3 +140,28 @@ def test_priority_batch_matches_single():
                      for _ in range(rng.randint(0, 70))) for _ in range(100)]
     assert enc.encode_batch(texts, n_threads=4) == [enc.encode_py(t)
                                                     for t in texts]
+
+
+def test_native_presplit_matches_python_segments():
+    """The native ASCII segmenters (whitespace/words) must agree with the
+    python regex patterns through the whole encode path."""
+    from hyptokenizer_tpu.tokenizer.normalize import (
+        NormalizerConfig, WHITESPACE, WORDS_WITH_SPACE)
+    rng = random.Random(17)
+    alphabet = "abcDEF 019 ..,!?_-  \t"
+    for pattern in (WHITESPACE, WORDS_WITH_SPACE):
+        for policy in ("fixpoint", "priority"):
+            vocab, merges = build_random_tokenizer(rng, n_merges=40)
+            cfg = NormalizerConfig(pre_split=pattern)
+            enc = Encoder(vocab, merges, use_native=True, normalizer=cfg,
+                          merge_policy=policy)
+            assert enc.native_available and enc._native_presplit
+            texts = ["".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(0, 80)))
+                     for _ in range(120)]
+            texts += ["", " ", "__", " _a", "a_ b", "  a", "1a,b2  _"]
+            got = enc.encode_batch(texts)
+            expect = [enc.encode_py(t) for t in texts]
+            assert got == expect, (pattern[:12], policy)
+            for t in texts[:30]:
+                assert enc.encode(t) == enc.encode_py(t), (policy, t)
