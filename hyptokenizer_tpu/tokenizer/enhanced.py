@@ -245,6 +245,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         done = 0
         zero_chunks = 0
         train_seconds = 0.0
+        first_chunk_seconds = None  # includes jit compile; reported separately
         start_merges = len(self.merge_history)
         while done < steps:
             if target_vocab_size is not None and \
@@ -264,7 +265,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 logger.info("No more merge candidates found. Stopping.")
                 break
             dt = time.perf_counter() - t0
-            train_seconds += dt
+            if first_chunk_seconds is None:
+                first_chunk_seconds = dt
+            else:
+                train_seconds += dt
             done += chunk
             self.current_phase = int(self.enh_state.phase)
             stat = {
@@ -301,10 +305,13 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         corpus_bytes = sum(len(t.encode("utf-8")) for t in self.corpus_sample)
         n_chips = max(1, len(jax.devices()))
         merges = len(self.merge_history) - start_merges
+        if train_seconds == 0.0 and first_chunk_seconds:
+            train_seconds = first_chunk_seconds  # single-chunk run
         if train_seconds > 0:
             summary = {
                 "summary": True,
                 "train_seconds": train_seconds,
+                "first_chunk_seconds": first_chunk_seconds,  # incl. compile
                 "merges": merges,
                 "merges_per_sec": merges / train_seconds,
                 "corpus_bytes": corpus_bytes,
