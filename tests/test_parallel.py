@@ -115,3 +115,40 @@ def test_enhanced_sharded_equals_single_device():
     assert n > 2
     np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
                                   np.asarray(s2.base.merges[:n]))
+
+
+def test_enhanced_sharded_priority_replay():
+    """Priority-replay (bpe-mode) config is SPMD-shardable with identical
+    merge sequences."""
+    from hyptokenizer_tpu.parallel.sharded import run_enhanced_sharded
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    from hyptokenizer_tpu.tokenizer.normalize import (
+        NormalizerConfig, WHITESPACE)
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc"] * 6
+
+    def build_tok():
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {ch for l in corpus for ch in l})
+        emb = L.random_points(jax.random.PRNGKey(5), len(vocab), 8, sigma=0.6)
+        return EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=50.0, max_vocab_size=64,
+            search_block=16, corpus_sample=corpus, corpus_max_tokens=256,
+            use_hierarchical=False, use_adaptive_curvature=False,
+            use_compression_aware=False, use_dense_channel=False,
+            min_pair_freq=1, merge_batch=4, seed=3,
+            merge_policy="priority",
+            normalizer=NormalizerConfig(pre_split=WHITESPACE))
+
+    t1 = build_tok()
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 10)
+
+    t2 = build_tok()
+    mesh = make_mesh()
+    s2 = run_enhanced_sharded(t2.enh_state, t2.enh_config, 10, mesh)
+
+    n = int(s1.base.num_merges)
+    assert n == int(s2.base.num_merges) and n > 2
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
