@@ -59,6 +59,29 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     return shard_enhanced_state(out, mesh)
 
 
+def run_embed_train_sharded(emb0, corpus, vocab_size, key, mesh: Mesh,
+                            **kw):
+    """RSGD embedding pretraining with the table and corpus row-sharded.
+
+    Same jitted scan as tokenizer/embed_train.py; XLA partitions the batched
+    gathers/scatter-adds across the mesh (the gradient all-reduce rides the
+    collectives XLA inserts). BASELINE config 5: 'Riemannian embedding
+    updates + count psum across N>=2 hosts'.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hyptokenizer_tpu.parallel.mesh import VOCAB_AXIS
+    from hyptokenizer_tpu.tokenizer.embed_train import train_embeddings
+
+    row2d = NamedSharding(mesh, P(VOCAB_AXIS, None))
+    row1d = NamedSharding(mesh, P(VOCAB_AXIS))
+    emb0 = jax.device_put(jnp.asarray(emb0), row2d)
+    corpus = jax.device_put(jnp.asarray(corpus), row1d)
+    with mesh:
+        return train_embeddings(emb0, corpus, vocab_size, key, **kw)
+
+
 def run_merges_sharded(state: MergeState, config: MergeConfig, n_steps: int,
                        mesh: Mesh) -> MergeState:
     """Run ``n_steps`` merge steps with the state sharded over ``mesh``.

@@ -152,3 +152,26 @@ def test_enhanced_sharded_priority_replay():
     assert n == int(s2.base.num_merges) and n > 2
     np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
                                   np.asarray(s2.base.merges[:n]))
+
+
+def test_embed_train_sharded_matches_single():
+    """RSGD pretraining under the vocab-sharded mesh == single device (up to
+    float reduction order)."""
+    from hyptokenizer_tpu.parallel.sharded import run_embed_train_sharded
+    from hyptokenizer_tpu.tokenizer.embed_train import train_embeddings
+
+    n, d = 64, 8
+    emb0 = L.random_points(jax.random.PRNGKey(0), n, d, sigma=0.3)
+    corpus = jnp.asarray(
+        [i % 24 for i in range(255)] + [-2], jnp.int32)
+    key = jax.random.PRNGKey(1)
+    e1, l1 = train_embeddings(emb0, corpus, 24, key, steps=20, batch=32,
+                              negatives=4)
+    mesh = make_mesh()
+    e2, l2 = run_embed_train_sharded(emb0, corpus, 24, key, mesh, steps=20,
+                                     batch=32, negatives=4)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-4)
+    # Result is on the manifold.
+    dots = np.asarray(L.minkowski_dot(e2, e2))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
