@@ -4,6 +4,7 @@
 - ``search``  — exact incremental candidate search (replaces FAISS)
 - ``core``    — host-side ``HyperbolicTokenizer`` API (reference-parity surface)
 - ``encode``  — conformant tokenize/encode/decode (+ native fast path)
+- ``normalize`` — opt-in Unicode normalization + lossless regex pre-split
 """
 
 from hyptokenizer_tpu.tokenizer.core import (  # noqa: F401
@@ -11,6 +12,11 @@ from hyptokenizer_tpu.tokenizer.core import (  # noqa: F401
     HyperbolicTokenizer,
 )
 from hyptokenizer_tpu.tokenizer.encode import Encoder  # noqa: F401
+from hyptokenizer_tpu.tokenizer.normalize import (  # noqa: F401
+    NormalizerConfig,
+    WHITESPACE,
+    WORDS_WITH_SPACE,
+)
 from hyptokenizer_tpu.tokenizer.enhanced import (  # noqa: F401
     AdaptiveCurvatureTokenizer,
     CompressionAwareTokenizer,
