@@ -36,6 +36,12 @@ logger = logging.getLogger(__name__)
 DEFAULT_CORPUS_TOKENS = 1 << 21
 
 
+@jax.jit
+def _live_count(corpus):
+    """Non-PAD prefix length of a (compacted) corpus buffer."""
+    return jnp.sum(corpus != -1)
+
+
 class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
     """Flagship tokenizer: all scoring features behind flags.
 
@@ -217,6 +223,28 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             pre_split=pre_split))
 
     # ---------------------------------------------------------------- training
+    MIN_CORPUS_BUFFER = 1 << 16
+
+    def _maybe_shrink_corpus(self) -> None:
+        """Halve the corpus buffer when the live prefix fits.
+
+        Merges only ever shrink the corpus (replay + compaction leave a PAD
+        tail), but every sync cost — replay compares, the pair-table sort,
+        compaction scatters — scales with the static BUFFER size. Slicing to
+        the next power of two above the live count keeps late-training syncs
+        proportional to the live corpus. Semantically a no-op (only PAD tail
+        is dropped; merge sequences are bit-identical — tested), at the cost
+        of one jit compile per power-of-two size (cached across runs).
+        """
+        corpus = self.enh_state.corpus
+        buf = corpus.shape[0]
+        if buf <= self.MIN_CORPUS_BUFFER:
+            return
+        live = int(_live_count(corpus))
+        new = max(self.MIN_CORPUS_BUFFER, 1 << max(1, live).bit_length())
+        if new <= buf // 2:
+            self.enh_state = self.enh_state.replace(corpus=corpus[:new])
+
     def register_callback(self, fn: Callable[[Dict], None]) -> None:
         """Per-chunk progress callback (the API the reference's enhanced
         training script calls but the reference never implemented —
@@ -257,6 +285,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             self.enh_state = E.run_enhanced(self.enh_state, self.enh_config,
                                             chunk)
             new = self._sync_merges_from_device()
+            if self.enh_config.needs_corpus:
+                self._maybe_shrink_corpus()
             # Candidate exhaustion: a chunk with zero merges after a fresh
             # corpus sync means no candidate can ever qualify again (threshold
             # adaptation already ran inside the chunk); one retry confirms.

@@ -182,3 +182,37 @@ def test_pre_split_training_confines_merges():
     # Encode path is lossless and uses the same boundaries.
     text = "aa bb  aa"
     assert tok.decode(tok.encode(text)) == text
+
+
+def test_corpus_shrinking_is_semantically_inert():
+    """Buffer shrinking drops only the PAD tail: merge sequences match a
+    run with shrinking disabled."""
+    import jax
+    import numpy as np
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+
+    corpus = ["aa bb cc dd ee", "bb cc dd aa ff", "cc dd aa bb gg"] * 6
+
+    def build(min_buf):
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {c for l in corpus for c in l})
+        emb = L.random_points(jax.random.PRNGKey(1), len(vocab), 8, sigma=0.5)
+        tok = EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=50.0, max_vocab_size=128,
+            search_block=32, corpus_sample=corpus, corpus_max_tokens=512,
+            use_hierarchical=False, use_adaptive_curvature=False,
+            use_compression_aware=False, use_dense_channel=False,
+            min_pair_freq=1, merge_batch=4, seed=1)
+        tok.MIN_CORPUS_BUFFER = min_buf
+        return tok
+
+    t_shrink = build(min_buf=16)      # shrinks aggressively
+    t_shrink.optimize_merges(steps=40, log_every=8)
+    assert t_shrink.enh_state.corpus.shape[0] < 512  # actually shrank
+
+    t_plain = build(min_buf=1 << 30)  # never shrinks
+    t_plain.optimize_merges(steps=40, log_every=8)
+
+    assert t_shrink.merge_history == t_plain.merge_history
+    assert t_shrink.merge_history  # non-trivial
