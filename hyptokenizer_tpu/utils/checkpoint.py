@@ -42,6 +42,10 @@ def save_checkpoint(path: str, tokenizer) -> None:
         "step": int(tokenizer.state.step),
         "enhanced": hasattr(tokenizer, "enh_state"),
         "current_phase": getattr(tokenizer, "current_phase", None),
+        # Corpus buffers shrink during training (enhanced._maybe_shrink_
+        # corpus); restore slices the fresh template to match.
+        "corpus_len": (int(tokenizer.enh_state.corpus.shape[0])
+                       if hasattr(tokenizer, "enh_state") else None),
     }
     with open(os.path.join(path, "host_state.json"), "w") as f:
         json.dump(host, f)
@@ -59,6 +63,15 @@ def restore_checkpoint(path: str, tokenizer) -> None:
         host = json.load(f)
     ocp = _ocp()
     template = getattr(tokenizer, "enh_state", None) or tokenizer.state
+    saved_len = host.get("corpus_len")
+    if saved_len is not None and hasattr(template, "corpus") and \
+            template.corpus.shape[0] != saved_len:
+        if saved_len > template.corpus.shape[0]:
+            raise ValueError(
+                f"checkpoint corpus ({saved_len}) larger than this "
+                f"tokenizer's buffer ({template.corpus.shape[0]}); construct "
+                "with a larger corpus_max_tokens")
+        template = template.replace(corpus=template.corpus[:saved_len])
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.join(path, "device_state"),
                                  template)
