@@ -284,18 +284,30 @@ class Encoder:
                 norm_lib.WHITESPACE: 1,
                 norm_lib.WORDS_WITH_SPACE: 2,
             }.get(normalizer.pre_split, 0)
+        # Two native handles: the primary one is ALWAYS presplit-free, so that
+        # per-segment fallbacks (non-ASCII text, non-canonical patterns) never
+        # hit the native ASCII-only segmenter and diverge from encode_py on
+        # bytes >= 0x80. The presplit handle is consulted only on the
+        # isascii() fast paths where its segmenter is exact.
         self._native = None
+        self._native_pre = None
         if use_native is None:
             use_native = ensure_native_built()
         if use_native:
             try:
                 native = _NativeEncoder(_NATIVE_PATH)
                 native.load(self.merge_history, self.token2idx, self.unk_id,
-                            merge_policy=self.merge_policy,
-                            presplit_mode=self._native_presplit)
+                            merge_policy=self.merge_policy, presplit_mode=0)
                 self._native = native
+                if self._native_presplit:
+                    pre = _NativeEncoder(_NATIVE_PATH)
+                    pre.load(self.merge_history, self.token2idx, self.unk_id,
+                             merge_policy=self.merge_policy,
+                             presplit_mode=self._native_presplit)
+                    self._native_pre = pre
             except OSError:
                 self._native = None
+                self._native_pre = None
 
     @property
     def native_available(self) -> bool:
@@ -321,8 +333,8 @@ class Encoder:
         if self.normalizer is None:
             return self._native.encode(text)
         normed = norm_lib.normalize(text, self.normalizer)
-        if self._native_presplit and normed.isascii():
-            return self._native.encode(normed)  # segments natively
+        if self._native_pre is not None and normed.isascii():
+            return self._native_pre.encode(normed)  # segments natively
         segs = (list(norm_lib.segments(normed, self.normalizer.pre_split))
                 if self.normalizer.pre_split else [normed])
         if len(segs) == 1:
@@ -350,8 +362,9 @@ class Encoder:
             # the batch call; other patterns hand the native encoder segment
             # BOUNDARIES instead of segment substrings (char offset == byte
             # offset for ASCII).
-            if self._native_presplit:
-                return self._native.encode_batch(normed, n_threads=n_threads)
+            if self._native_pre is not None:
+                return self._native_pre.encode_batch(normed,
+                                                     n_threads=n_threads)
             if self._native._batch_seg is not None:
                 starts = [
                     norm_lib.segment_starts(t, self.normalizer.pre_split)

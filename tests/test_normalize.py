@@ -84,6 +84,32 @@ def test_normalizer_native_matches_python():
         assert nat.encode(text) == py.encode_py(text)
 
 
+def _enc_nonascii(pattern, use_native=None):
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>", "c", "a", "f", "é", " ",
+             "caf", "café", " café"]
+    merges = [("c", "a", "ca"), ("ca", "f", "caf"), ("caf", "é", "café"),
+              (" ", "café", " café")]
+    cfg = NormalizerConfig(pre_split=pattern)
+    return Encoder(vocab, merges, normalizer=cfg, use_native=use_native)
+
+
+def test_normalizer_native_matches_python_nonascii():
+    # Regression: a presplit-configured native handle's ASCII-only segmenter
+    # treats bytes >= 0x80 as boundaries, splitting inside multi-byte
+    # codepoints/segments. The fallback path must use a presplit-free handle
+    # so encode == encode_py on non-ASCII input.
+    for pattern in (N.WORDS_WITH_SPACE, N.WHITESPACE):
+        nat = _enc_nonascii(pattern)
+        if not nat.native_available:
+            pytest.skip("native encoder unavailable")
+        py = _enc_nonascii(pattern, use_native=False)
+        for text in (" café", "café café", "caf é", "  café x"):
+            assert nat.encode(text) == py.encode_py(text), (pattern, text)
+            assert nat.encode_batch([text, " café", "ascii only"]) == \
+                [py.encode_py(text), py.encode_py(" café"),
+                 py.encode_py("ascii only")], (pattern, text)
+
+
 def test_words_with_space_pattern():
     segs = list(N.segments("the cat, 42 dogs!", N.WORDS_WITH_SPACE))
     assert "".join(segs) == "the cat, 42 dogs!"
