@@ -1,20 +1,29 @@
-"""Headline benchmark: hyperbolic merge-training throughput on TPU.
+"""Headline benchmark: ENHANCED (flagship) merge-training throughput on TPU.
 
-Workload: the reference's "fast tokenizer" configuration (README.md:94-104 —
-embedding_dim 100, target vocab 50k) run as a device-resident merge loop.
-Metric: merge steps/sec, steady-state (compile excluded).
+Workload: the flagship corpus-grounded enhanced tokenizer (RESULTS.md recipe —
+frequency-aware scoring with coherence, priority merge policy, words pre-split,
+merge_batch=16) on the real WikiText corpus (data/wiki_corpus.txt.bz2, the
+2.24 MB cleaned validation+test slice), d=100, vocab budget 50k. This is the
+workload a user of the reference's EnhancedFastHyperbolicTokenizer runs
+(enhanced_fast_hyperbolic_merge.py:1015-1209); the reference measures 12.13
+amortized merge steps/s at V0=1024 d=100 on its torch-CPU fast path (its
+candidate refill is O(V^2 d) — see BASELINE.md), so that number is an UPPER
+bound on its rate at this scale.
 
-Baseline: the reference implementation (torch CPU, its no-FAISS fast path with
-candidate caching) measures 12.13 amortized steps/sec at V0=1024, d=100 —
-measured in-situ, see BASELINE.md. Its candidate search is O(V^2 d) per refill,
-so this is an *upper bound* on its rate at the real 50k workload; the number
-here is per-chip on the actual 50k-vocab workload.
+Metric: merges/sec of the enhanced loop, steady-state (compile excluded).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also prints (stderr-style diagnostic lines after the headline JSON):
+  * the distance-only fused-kernel loop (previous rounds' headline),
+  * an on-chip XLA-vs-Pallas merge-sequence equivalence check (the Pallas
+    kernels' only non-interpret coverage, VERDICT r1 #9).
+
+Prints one JSON line first: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import bz2
 import json
 import os
+import sys
 import time
 
 # Persistent compile cache: first-compile latency through the TPU tunnel is
@@ -26,73 +35,135 @@ import jax.numpy as jnp
 
 REF_BASELINE_STEPS_PER_SEC = 12.13  # BASELINE.md, measured on the reference
 
+CORPUS_BZ2 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "data", "wiki_corpus.txt.bz2")
 
-def main():
+
+def load_corpus():
+    with bz2.open(CORPUS_BZ2, "rt", encoding="utf-8") as f:
+        return [ln.rstrip("\n") for ln in f if ln.strip()]
+
+
+def bench_enhanced(lines):
+    """Flagship enhanced run (RESULTS.md bpe-mode recipe, no embed pretrain)."""
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import normalize as N
+    from hyptokenizer_tpu.tokenizer.normalize import NormalizerConfig
+
+    chars = sorted({ch for ln in lines for ch in ln})
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + chars
+    emb = L.random_points(jax.random.PRNGKey(0), len(vocab), 100, sigma=0.5)
+    t0 = time.perf_counter()
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb,
+        max_vocab_size=50_176,
+        merge_threshold=100.0,
+        alpha=0.05, beta=0.9, gamma=0.05,
+        use_hierarchical=False, use_compression_aware=False,
+        use_adaptive_curvature=True, optimize_curvature_freq=1000,
+        use_dense_channel=False, min_pair_freq=1, merge_batch=16,
+        corpus_sample=lines, corpus_max_tokens=2_900_000,
+        normalizer=NormalizerConfig(pre_split=N.WORDS_WITH_SPACE),
+        merge_policy="priority", seed=0)
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tok.optimize_merges(steps=50_000, log_every=2048,
+                        target_vocab_size=50_000)
+    t_train = time.perf_counter() - t0
+    s = tok.training_summary or {}
+    merges = s.get("merges", len(tok.merge_history))
+    # Steady-state rate: exclude the first chunk (jit compile + upload).
+    rate = s.get("merges_per_sec", merges / max(t_train, 1e-9))
+    return dict(rate=rate, merges=merges, vocab=len(tok.vocab),
+                t_init=t_init, t_train=t_train,
+                first_chunk=s.get("first_chunk_seconds"),
+                corpus_bytes_per_sec_per_chip=s.get(
+                    "corpus_bytes_per_sec_per_chip"))
+
+
+def bench_distance_only():
+    """Previous headline: the fused distance-only Pallas merge loop."""
     from hyptokenizer_tpu.ops import lorentz as L
     from hyptokenizer_tpu.tokenizer import MergeConfig, init_state, run_merges
 
-    d = 100
-    n_init = 4096
-    max_v = 50_176  # 50k target, multiple of 1024 for clean tiling
-    warmup_steps = 256
-    bench_steps = 16_384
-
     key = jax.random.PRNGKey(0)
-    emb0 = L.random_points(key, n_init, d, sigma=0.5)
-    lengths0 = jnp.ones((n_init,), jnp.int32)
-    config = MergeConfig(max_vocab_size=max_v, search_block=512)
-
-    t0 = time.perf_counter()
+    emb0 = L.random_points(key, 4096, 100, sigma=0.5)
+    lengths0 = jnp.ones((4096,), jnp.int32)
+    config = MergeConfig(max_vocab_size=50_176, search_block=512)
     state = init_state(emb0, lengths0, curvature=1.0, threshold=5.0,
                        config=config)
     jax.block_until_ready(state.best_dist)
-    t_init = time.perf_counter() - t0
-
-    # Warmup: compiles the while-loop step.
-    t0 = time.perf_counter()
-    state = run_merges(state, config, warmup_steps)
+    state = run_merges(state, config, 256)  # compile + warmup
     jax.block_until_ready(state.best_dist)
-    t_warm = time.perf_counter() - t0
-
-    # Best-of-N: the TPU tunnel in this environment oscillates between a
-    # throttled (~10x) and a full-speed state on minute timescales (verified
-    # with interleaved A/B runs of identical binaries); the max reflects the
-    # hardware, the spread is recorded in the diagnostic line. When a trial
-    # looks throttled relative to the best so far, wait out the window and
-    # retry (up to 8 trials / ~5 minutes).
     trials = []
-    per_trial = bench_steps // 4
-    deadline = time.monotonic() + 300
-    while len(trials) < 8:
+    deadline = time.monotonic() + 240
+    while len(trials) < 6:
         t0 = time.perf_counter()
-        state = run_merges(state, config, per_trial)
+        state = run_merges(state, config, 4096)
         jax.block_until_ready(state.best_dist)
-        trials.append(per_trial / (time.perf_counter() - t0))
+        trials.append(4096 / (time.perf_counter() - t0))
         if len(trials) >= 3 and max(trials) < 1.5 * min(trials):
-            break  # stable weather
+            break
         if time.monotonic() > deadline:
             break
-        if trials[-1] < 0.6 * max(trials) or max(trials) < 4000:
-            time.sleep(20)  # throttled window: let it pass
-    dt = sum(per_trial / r for r in trials)  # total seconds across trials
-    value = max(trials)
+        if trials[-1] < 0.6 * max(trials):
+            time.sleep(15)
+    return max(trials), trials
+
+
+def kernel_selfcheck():
+    """On-chip XLA-vs-Pallas merge-sequence equivalence (non-interpret)."""
+    import numpy as np
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import MergeConfig, init_state, run_merges
+
+    if jax.devices()[0].platform != "tpu":
+        return {"kernel_selfcheck": "skipped (no TPU)"}
+    key = jax.random.PRNGKey(7)
+    emb0 = L.random_points(key, 512, 100, sigma=0.5)
+    lengths0 = jnp.ones((512,), jnp.int32)
+    seqs = {}
+    for use_pallas in (True, False):
+        config = MergeConfig(max_vocab_size=1024, search_block=256,
+                             use_pallas=use_pallas)
+        st = init_state(emb0, lengths0, curvature=1.0, threshold=5.0,
+                        config=config)
+        st = run_merges(st, config, 256)
+        n = int(st.num_merges)
+        seqs[use_pallas] = np.asarray(st.merges[:n]).tolist()
+    match = seqs[True] == seqs[False]
+    return {"kernel_selfcheck": "pass" if match else "FAIL",
+            "kernel_selfcheck_merges": len(seqs[True])}
+
+
+def main():
+    lines = load_corpus()
+    enh = bench_enhanced(lines)
     result = {
-        "metric": "merge_steps_per_sec",
-        "value": round(value, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(value / REF_BASELINE_STEPS_PER_SEC, 2),
+        "metric": "enhanced_merges_per_sec",
+        "value": round(enh["rate"], 2),
+        "unit": "merges/s",
+        "vs_baseline": round(enh["rate"] / REF_BASELINE_STEPS_PER_SEC, 2),
     }
     print(json.dumps(result))
-    # Secondary detail on stderr-ish (still stdout but after the JSON line the
-    # driver reads the first line; keep diagnostics on one extra line).
-    import sys
-    print(
-        f"# init_pass={t_init:.2f}s warmup(compile)={t_warm:.2f}s "
-        f"bench={dt:.2f}s trials={[round(t, 1) for t in trials]} "
-        f"merges={int(state.num_merges)} vocab={int(state.vocab_size)} "
-        f"device={jax.devices()[0].device_kind}",
-        file=sys.stderr,
-    )
+    print(f"# enhanced: merges={enh['merges']} vocab={enh['vocab']} "
+          f"ctor={enh['t_init']:.2f}s first_chunk={enh['first_chunk']}s "
+          f"train={enh['t_train']:.2f}s "
+          f"corpus_Bps_chip={enh['corpus_bytes_per_sec_per_chip']}",
+          file=sys.stderr)
+    try:
+        dist_rate, trials = bench_distance_only()
+        print(f"# distance_only_steps_per_sec={dist_rate:.1f} "
+              f"trials={[round(t, 1) for t in trials]}", file=sys.stderr)
+    except Exception as e:  # secondary: never break the headline
+        print(f"# distance_only failed: {e}", file=sys.stderr)
+    try:
+        print(f"# {json.dumps(kernel_selfcheck())}", file=sys.stderr)
+    except Exception as e:
+        print(f"# kernel_selfcheck failed: {e}", file=sys.stderr)
+    print(f"# device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,9 @@ def plot_training_curves(stats: List[Dict], out_path: str):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    # Per-step records only (artifacts from older runs appended a summary
+    # dict without a 'step' key to training_stats).
+    stats = [s for s in stats if "step" in s]
     steps = [s["step"] for s in stats]
     axes[0].plot(steps, [s["vocab_size"] for s in stats])
     axes[0].set_title("vocab size")

@@ -47,11 +47,17 @@ def main(argv=None):
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             stats = json.load(f)
+        # Last per-step record (older artifacts appended a summary dict).
+        stats = [s for s in stats if "step" in s]
         if stats:
             result["training"] = {
                 "final_vocab": stats[-1].get("vocab_size"),
                 "merge_steps_per_sec": stats[-1].get("steps_per_sec"),
             }
+    summary_path = os.path.join(args.tokenizer_dir, "training_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            result["training_summary"] = json.load(f)
     print(json.dumps(result, indent=2))
     if args.output_path:
         with open(args.output_path, "w") as f:

@@ -69,13 +69,18 @@ def enhanced_state_shardings(mesh: Mesh, st):
         phase=rep,
         corpus=row,
         corpus_synced=rep,
+        corpus_tokens=rep,
         pair_keys=rep,
         pair_counts=rep,
         max_pair_count=rep,
         pair_unique=rep,
-        sp_dist=rep,
-        sp_score=rep,
-        sp_consumed=rep,
+        q_i=rep,
+        q_j=rep,
+        q_dist=rep,
+        q_score=rep,
+        q_valid_total=rep,
+        needs_resync=rep,
+        coh_samples=rep,
         token_hash=NamedSharding(mesh, P(VOCAB_AXIS, None)),
         byte_lengths=row,
         has_vowel=row,

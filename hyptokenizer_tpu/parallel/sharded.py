@@ -41,7 +41,7 @@ def _run_enhanced(st, config, n_steps: int):
     attempt_cap = n_steps + 1024
 
     def cond(s):
-        return ((~s.base.stopped)
+        return ((~s.base.stopped) & (~s.needs_resync)
                 & (s.base.num_merges - start_merges < n_steps)
                 & (s.base.step - start_step < attempt_cap))
 

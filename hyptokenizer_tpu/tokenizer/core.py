@@ -71,6 +71,7 @@ class HyperbolicTokenizer:
         self.use_approximate_search = bool(use_approximate_search)
         self.merge_history: List[Tuple[str, str, str]] = []
         self.training_stats: List[Dict] = []
+        self.training_summary: Optional[Dict] = None
         self._encoder: Optional[Encoder] = None
 
         emb0 = jnp.asarray(np.asarray(embeddings), jnp.float32)
@@ -210,6 +211,11 @@ class HyperbolicTokenizer:
             json.dump(config, f)
         with open(os.path.join(path, "training_stats.json"), "w") as f:
             json.dump(self.training_stats, f)
+        # Per-step consumers read training_stats.json entry-by-entry, so the
+        # end-of-run summary lives in its own artifact.
+        if getattr(self, "training_summary", None):
+            with open(os.path.join(path, "training_summary.json"), "w") as f:
+                json.dump(self.training_summary, f)
 
     @classmethod
     def load(cls, path: str, device=None) -> "HyperbolicTokenizer":

@@ -94,6 +94,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         merge_batch: int = 8,
         min_pair_freq: int = 1,
         use_dense_channel: bool = True,
+        freq_table_size: int = 1 << 17,
+        queue_size: int = 4096,
         seed: int = 0,
         normalizer=None,
         merge_policy: str = "fixpoint",
@@ -132,6 +134,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             curvature_lr=curvature_lr,
             hierarchy_weight=hierarchy_weight,
             distortion_weight=distortion_weight,
+            freq_table_size=freq_table_size,
+            # top_k needs k <= table size; batches need at least merge_batch
+            # queue slots.
+            queue_size=max(min(queue_size, freq_table_size), merge_batch, 1),
         )
         self.current_phase = 1
 
@@ -166,10 +172,11 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             t_hash[idx] = (h1, h2)
             b_len[idx] = len(tok.encode("utf-8"))
             vflag[idx] = morphology.has_vowel(tok)
-        (pair_keys, pair_counts, sp_dist, sp_score, sp_consumed, token_hash,
-         byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
+        (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, coh_samples,
+         token_hash, byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
             jnp.asarray(t_hash), jnp.asarray(b_len), jnp.asarray(vflag),
-            max_v, self.enh_config.freq_table_size)
+            max_v, self.enh_config.freq_table_size,
+            self.enh_config.queue_size, self.enh_config.coherence_samples)
 
         self.enh_state = E.EnhancedState(
             base=self.state,
@@ -177,13 +184,18 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             phase=jnp.asarray(1, jnp.int32),
             corpus=corpus_ids,
             corpus_synced=jnp.asarray(0, jnp.int32),
+            corpus_tokens=jnp.asarray(0, jnp.int32),
             pair_keys=pair_keys,
             pair_counts=pair_counts,
             max_pair_count=jnp.asarray(0, jnp.int32),
             pair_unique=jnp.asarray(0, jnp.int32),
-            sp_dist=sp_dist,
-            sp_score=sp_score,
-            sp_consumed=sp_consumed,
+            q_i=q_i,
+            q_j=q_j,
+            q_dist=q_dist,
+            q_score=q_score,
+            q_valid_total=jnp.zeros((3,), jnp.int32),
+            needs_resync=jnp.asarray(False),
+            coh_samples=coh_samples,
             token_hash=token_hash,
             byte_lengths=byte_lengths,
             has_vowel=has_vowel,
@@ -339,7 +351,6 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             train_seconds = first_chunk_seconds  # single-chunk run
         if train_seconds > 0:
             summary = {
-                "summary": True,
                 "train_seconds": train_seconds,
                 "first_chunk_seconds": first_chunk_seconds,  # incl. compile
                 "merges": merges,
@@ -348,7 +359,11 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 "corpus_bytes_per_sec_per_chip":
                     corpus_bytes / train_seconds / n_chips,
             }
-            self.training_stats.append(summary)
+            # Kept OUT of training_stats: the per-step consumers
+            # (cli/analysis.py curves, cli/benchmark_efficiency.py) read
+            # every entry as a step record. Persisted by save() as
+            # training_summary.json.
+            self.training_summary = summary
             logger.info(
                 "training summary: %(merges)d merges in %(train_seconds).1fs "
                 "= %(merges_per_sec).1f merges/s, "
@@ -360,14 +375,13 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
     def pair_frequencies(self) -> Dict:
         """String-keyed pair-frequency snapshot (reference surface,
         frequency_aware_…:92-112). Materialised from the device table."""
-        keys = np.asarray(self.enh_state.pair_keys)
+        keys = np.asarray(self.enh_state.pair_keys)  # (T, 2) id lanes
         counts = np.asarray(self.enh_state.pair_counts)
-        max_v = self.max_vocab_size
         out = {}
-        for k, c in zip(keys, counts):
-            if k == 0xFFFFFFFF or c == 0:
+        for (a, b), c in zip(keys, counts):
+            if a == 0xFFFFFFFF or c == 0:
                 continue
-            a, b = int(k) // max_v, int(k) % max_v
+            a, b = int(a), int(b)
             if a < len(self.vocab) and b < len(self.vocab):
                 out[(self.vocab[a], self.vocab[b])] = int(c)
         return out

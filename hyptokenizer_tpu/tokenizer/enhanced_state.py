@@ -29,6 +29,20 @@ corpus nor is the distance argmin cannot win a step; in the reference such
 pairs score alpha/(1+d) + phase-low-constant, which is maximised by the
 distance argmin anyway (up to coherence noise).
 
+Sparse-channel representation: per-phase **score-sorted candidate queues**
+(top ``queue_size`` by combined score, built at each corpus sync). Because
+within-chunk scores are frozen, the per-step top-k over the whole pair table
+reduces to taking the first still-valid entries of a sorted queue — the exact
+device-side analogue of the reference's bounded candidate cache with
+consume-on-read (fast_hyperbolic_merge.py:63-133, 263-265). Consumption
+-INFs matching queue entries across all phases; when a partially-consumed
+truncated queue can no longer fill a batch, the chunk ends with
+``needs_resync`` and the next chunk rebuilds everything (fresher statistics
+than the full-table scan would have used). Coherence sampling is per-chunk
+(one 50-token sample set drawn at sync, used by every candidate scored in
+that chunk) — the reference redraws per candidate, which only changes the
+noise realisation of its sigmoid term.
+
 Scoring formula parity (enhanced_…:903-990): cascading weight renormalisation,
 phase-dependent morphology scores 0.8/0.2, 0.9/0.3, 1.0/0.4, sigmoid coherence
 centred on the threshold, log1p-normalised frequency.
@@ -113,6 +127,10 @@ class EnhancedConfig:
     distortion_samples: int = struct.field(pytree_node=False, default=500)
 
     freq_table_size: int = struct.field(pytree_node=False, default=1 << 17)
+    # Sparse-channel candidate queue length per phase (top-k by score at each
+    # sync). Large enough that a chunk rarely exhausts it; exhaustion is
+    # handled by an early resync, not an error.
+    queue_size: int = struct.field(pytree_node=False, default=4096)
 
     @property
     def needs_corpus(self) -> bool:
@@ -153,16 +171,24 @@ class EnhancedState:
     # line separators) + pair-frequency snapshot.
     corpus: jax.Array              # (N,) i32
     corpus_synced: jax.Array       # i32 — merges already replayed onto corpus
-    pair_keys: jax.Array           # (T,) u32 sorted (key = a*max_V+b)
+    corpus_tokens: jax.Array       # i32 — live token count at last sync
+    pair_keys: jax.Array           # (T, 2) u32 lex-sorted (lanes = left id,
+                                   # right id — exact at any vocab size)
     pair_counts: jax.Array         # (T,) i32
     max_pair_count: jax.Array      # i32
     pair_unique: jax.Array         # i32 — unique pairs BEFORE table clipping
                                    # (> T means the snapshot dropped pairs)
 
-    # Sparse corpus-pair candidate channel (aligned with pair_keys).
-    sp_dist: jax.Array             # (T,) f32 current-curvature distance
-    sp_score: jax.Array            # (T, 3) f32 combined score per phase
-    sp_consumed: jax.Array         # (T,) bool — pair already merged
+    # Sparse corpus-pair candidate queues: per phase, the top ``queue_size``
+    # candidates by combined score, sorted descending (consume-on-read).
+    q_i: jax.Array                 # (3, K) i32 left id (-1 empty)
+    q_j: jax.Array                 # (3, K) i32 right id
+    q_dist: jax.Array              # (3, K) f32 distance at sync curvature
+    q_score: jax.Array             # (3, K) f32 score; -INF = empty/consumed
+    q_valid_total: jax.Array       # (3,) i32 valid candidates in FULL table
+                                   # at sync (> K means the queue truncated)
+    needs_resync: jax.Array        # bool — queue exhausted; end the chunk
+    coh_samples: jax.Array         # (S,) i32 per-chunk coherence sample ids
 
     # Token hashes + features for device-side morphology checks.
     token_hash: jax.Array          # (max_V, 2) u32
@@ -186,21 +212,26 @@ def phase_threshold(config: EnhancedConfig, phase: jax.Array) -> jax.Array:
     return t[jnp.clip(phase - 1, 0, 2)]
 
 
-@functools.partial(jax.jit, static_argnames=("max_v", "table_size"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_v", "table_size", "queue_size",
+                                    "coh_samples"))
 def assemble_enhanced_buffers(t_hash0, b_len0, vflag0, max_v: int,
-                              table_size: int):
+                              table_size: int, queue_size: int = 4096,
+                              coh_samples: int = 50):
     """Pad initial-vocab token features to max_v and build the constant-fill
-    pair-table buffers on device (one cacheable compile, ~no upload)."""
+    pair-table/queue buffers on device (one cacheable compile, ~no upload)."""
     n0 = t_hash0.shape[0]
-    pair_keys = jnp.full((table_size,), jnp.uint32(0xFFFFFFFF))
+    pair_keys = jnp.full((table_size, 2), scoring.PKEY_SENT)
     pair_counts = jnp.zeros((table_size,), jnp.int32)
-    sp_dist = jnp.full((table_size,), INF, jnp.float32)
-    sp_score = jnp.full((table_size, 3), -INF, jnp.float32)
-    sp_consumed = jnp.zeros((table_size,), jnp.bool_)
+    q_i = jnp.full((3, queue_size), -1, jnp.int32)
+    q_j = jnp.full((3, queue_size), -1, jnp.int32)
+    q_dist = jnp.full((3, queue_size), INF, jnp.float32)
+    q_score = jnp.full((3, queue_size), -INF, jnp.float32)
+    samples = jnp.zeros((coh_samples,), jnp.int32)
     token_hash = jnp.zeros((max_v, 2), jnp.uint32).at[:n0].set(t_hash0)
     byte_lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(b_len0)
     has_vowel = jnp.zeros((max_v,), jnp.bool_).at[:n0].set(vflag0)
-    return (pair_keys, pair_counts, sp_dist, sp_score, sp_consumed,
+    return (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, samples,
             token_hash, byte_lengths, has_vowel)
 
 
@@ -246,8 +277,13 @@ def _morph_scores(st: EnhancedState, rows, cols):
 
 
 def _full_scores(st: EnhancedState, config: EnhancedConfig, rows, cols,
-                 dists, freqs, key):
-    """(n, 3) combined score per phase with the reference's weight cascade."""
+                 dists, freqs):
+    """(n, 3) combined score per phase with the reference's weight cascade.
+
+    Coherence uses the per-chunk sample set ``st.coh_samples`` (drawn once per
+    sync); the corpus token total for compression is the sync-time snapshot
+    ``st.corpus_tokens`` (the corpus itself only changes at sync).
+    """
     base = st.base
     alpha, beta, gamma, comp_w, morph_w = config.weights()
     n = rows.shape[0]
@@ -261,13 +297,10 @@ def _full_scores(st: EnhancedState, config: EnhancedConfig, rows, cols,
         denom = jnp.log1p(jnp.maximum(st.max_pair_count, 1).astype(jnp.float32))
         frequency_score = jnp.log1p(freqs.astype(jnp.float32)) / jnp.maximum(
             denom, 1e-9)
-        samp = jax.random.randint(key, (config.coherence_samples,), 0,
-                                  jnp.maximum(base.vocab_size, 1))
         semantic = _coherence(base.emb, rows, cols, base.lengths,
-                              base.curvature, base.threshold, samp)
+                              base.curvature, base.threshold, st.coh_samples)
     if config.use_compression:
-        total = jnp.maximum(scoring.corpus_token_count(st.corpus), 1
-                            ).astype(jnp.float32)
+        total = jnp.maximum(st.corpus_tokens, 1).astype(jnp.float32)
         ratio = total / jnp.maximum(total - freqs.astype(jnp.float32), 1.0)
         compression = jnp.clip(ratio - 1.0, 0.0, 1.0)
 
@@ -351,7 +384,7 @@ def _maybe_update_curvature(st: EnhancedState, config: EnhancedConfig,
                               base.best_dist * scale, base.best_dist)
         return st.replace(
             base=base.replace(curvature=c_new, best_dist=best_dist),
-            sp_dist=st.sp_dist * scale,
+            q_dist=st.q_dist * scale,
             curv_m=m, curv_v=v, curv_t=t)
 
     # Keyed on merge count (== the reference's step counter when one merge
@@ -393,43 +426,68 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         st = _maybe_update_curvature(st, config, sub)
         base = st.base
 
-    key, sub = jax.random.split(st.key)
-    st = st.replace(key=key)
     pidx = jnp.clip(st.phase - 1, 0, 2)
+    nb = max(1, config.merge_batch)
 
     # Dense channel representative: global distance argmin, fully scored.
-    di = jnp.argmin(base.best_dist).astype(jnp.int32)
-    dd = base.best_dist[di]
-    dj = base.best_j[di]
-    dense_key = di.astype(jnp.uint32) * jnp.uint32(max_v) \
-        + dj.astype(jnp.uint32)
-    dense_freq = scoring.lookup_pair_counts(dense_key[None], st.pair_keys,
-                                            st.pair_counts)[0]
-    dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
-                               dense_freq[None], sub)[0][pidx]
-    dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
-    if config.needs_corpus and not config.use_dense_channel:
+    use_dense = config.use_dense_channel or not config.needs_corpus
+    if use_dense:
+        di = jnp.argmin(base.best_dist).astype(jnp.int32)
+        dd = base.best_dist[di]
+        dj = base.best_j[di]
+        dense_freq = scoring.lookup_pair_counts(
+            di[None], dj[None], st.pair_keys, st.pair_counts)[0]
+        dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
+                                   dense_freq[None])[0][pidx]
+        dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
+    else:
+        di = jnp.asarray(0, jnp.int32)
+        dj = jnp.asarray(0, jnp.int32)
+        dd = jnp.asarray(INF, jnp.float32)
+        dense_score = jnp.asarray(-INF, jnp.float32)
         dense_valid = jnp.asarray(False)
 
-    nb = max(1, config.merge_batch)
+    need_rs = jnp.asarray(False)
     if config.needs_corpus:
-        sp_ok = (~st.sp_consumed) & (st.sp_dist < base.threshold)
-        sp_vals = jnp.where(sp_ok, st.sp_score[:, pidx], -INF)
-        top_vals, top_pos = jax.lax.top_k(sp_vals, nb)
-        top_keys = st.pair_keys[top_pos]
-        sp_i = (top_keys // jnp.uint32(max_v)).astype(jnp.int32)
-        sp_j = (top_keys % jnp.uint32(max_v)).astype(jnp.int32)
-        sp_d = st.sp_dist[top_pos]
-        sp_valid = jnp.isfinite(top_vals) & (top_vals > -INF) & sp_ok[top_pos]
-        # Dedupe: a sparse entry equal to the dense pair yields the same
-        # merged token; keep the dense copy only.
-        sp_valid = sp_valid & ~(dense_valid & (top_keys == dense_key))
+        # Consume-on-read from the current phase's score-sorted queue:
+        # remaining entries keep score-descending order, so the first ``nb``
+        # valid positions ARE the top-nb candidates of the full table (any
+        # entry outside a top-K queue scores below every stored entry).
+        k = config.queue_size
+        qs = st.q_score[pidx]
+        qd = st.q_dist[pidx]
+        qi = st.q_i[pidx]
+        qj = st.q_j[pidx]
+        valid = (qs > -INF) & (qd < base.threshold)
+        if config.use_dense_channel:
+            # Dedupe: a queue entry equal to the dense pair yields the same
+            # merged token; keep the dense copy only.
+            valid = valid & ~(dense_valid & (qi == di) & (qj == dj))
+        vrank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        take = valid & (vrank < nb)
+        # Dense (nb,) gather of the taken queue positions, in score order.
+        pos_k = jnp.arange(k, dtype=jnp.int32)
+        sel = jnp.full((nb + 1,), k, jnp.int32).at[
+            jnp.where(take, vrank, nb)].set(pos_k, mode="drop")[:nb]
+        found = sel < k
+        selc = jnp.minimum(sel, k - 1)
+        sp_i = qi[selc]
+        sp_j = qj[selc]
+        sp_d = qd[selc]
+        top_vals = jnp.where(found, qs[selc], -INF)
+        sp_valid = found
+        # Exhaustion: a TRUNCATED queue that has been partially consumed and
+        # can no longer fill a batch may hide better candidates in the full
+        # table — end the chunk; the wrapper resyncs (fresher stats).
+        truncated = st.q_valid_total[pidx] > k
+        consumed_any = base.num_merges > st.corpus_synced
+        need_rs = (truncated & consumed_any
+                   & (jnp.sum(valid.astype(jnp.int32)) < nb))
     else:
         sp_i = jnp.zeros((nb,), jnp.int32)
         sp_j = jnp.zeros((nb,), jnp.int32)
         sp_d = jnp.full((nb,), INF, jnp.float32)
         top_vals = jnp.full((nb,), -INF, jnp.float32)
-        top_pos = jnp.zeros((nb,), jnp.int32)
         sp_valid = jnp.zeros((nb,), jnp.bool_)
 
     # Combined batch (dense + sparse), ordered by score descending. The
@@ -469,15 +527,15 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
             st.byte_lengths[cand_i] + st.byte_lengths[cand_j], mode="drop")
         has_vowel = st.has_vowel.at[slot].set(
             st.has_vowel[cand_i] | st.has_vowel[cand_j], mode="drop")
-        # Consume the sparse entries of every applied ordered pair.
-        mkey = (cand_i.astype(jnp.uint32) * jnp.uint32(max_v)
-                + cand_j.astype(jnp.uint32))
-        pos = jnp.minimum(jnp.searchsorted(st.pair_keys, mkey),
-                          st.pair_keys.shape[0] - 1)
-        hit = applied & (st.pair_keys[pos] == mkey)
-        consumed = st.sp_consumed.at[jnp.where(hit, pos, st.sp_consumed.shape[0])
-                                     ].set(True, mode="drop")
-        return st.replace(base=new_base, sp_consumed=consumed,
+        if config.needs_corpus:
+            # Consume every applied ordered pair across ALL phase queues
+            # (a pair can be stored in several; dense merges too).
+            eq = ((st.q_i[:, :, None] == cand_i[None, None, :])
+                  & (st.q_j[:, :, None] == cand_j[None, None, :])
+                  & applied[None, None, :])
+            q_score = jnp.where(jnp.any(eq, axis=-1), -INF, st.q_score)
+            st = st.replace(q_score=q_score)
+        return st.replace(base=new_base,
                           token_hash=token_hash, byte_lengths=byte_lengths,
                           has_vowel=has_vowel)
 
@@ -496,9 +554,17 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
                                             stopped=stopped))
 
     prev_merges = st.base.num_merges
-    st = jax.lax.cond(any_valid, do_merge, no_merge, st)
+    if config.needs_corpus:
+        # Queue exhaustion ends the chunk WITHOUT a step (the wrapper resyncs
+        # and the step is retried against the rebuilt full table).
+        st = jax.lax.cond(
+            need_rs,
+            lambda s: s.replace(needs_resync=jnp.asarray(True)),
+            lambda s: jax.lax.cond(any_valid, do_merge, no_merge, s), st)
+    else:
+        st = jax.lax.cond(any_valid, do_merge, no_merge, st)
     base = st.base
-    step = base.step + 1
+    step = base.step + jnp.where(st.needs_resync, 0, 1)
     # Periodic threshold growth per merge count (fast_…:572-576).
     if config.base.adaptive_threshold and config.base.threshold_growth_every > 0:
         every = config.base.threshold_growth_every
@@ -521,7 +587,6 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     if not config.needs_corpus:
         return st
     base = st.base
-    max_v = base.emb.shape[0]
 
     # Batched replay of the un-synced merge rules (a few O(N) passes instead
     # of one per merge): encode()-semantics leftmost-match by default, or
@@ -530,11 +595,19 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
               else scoring.batch_fixpoint_replay)
     corpus = replay(
         st.corpus, base.merges, st.corpus_synced,
-        base.num_merges - st.corpus_synced, config.n_init, max_v)
+        base.num_merges - st.corpus_synced, config.n_init)
     keys, counts, n_unique, max_count = scoring.build_pair_table(
-        corpus, max_v, config.freq_table_size)
+        corpus, config.freq_table_size)
 
-    st = st.replace(corpus=corpus, corpus_synced=base.num_merges,
+    # Per-chunk coherence sample set (one draw per sync — every candidate
+    # scored this chunk sees the same samples; the reference redraws per
+    # candidate, which only changes its sigmoid term's noise realisation).
+    key, sub = jax.random.split(st.key)
+    samp = jax.random.randint(sub, (config.coherence_samples,), 0,
+                              jnp.maximum(base.vocab_size, 1))
+    st = st.replace(key=key, coh_samples=samp,
+                    corpus=corpus, corpus_synced=base.num_merges,
+                    corpus_tokens=scoring.corpus_token_count(corpus),
                     pair_keys=keys, pair_counts=counts,
                     max_pair_count=max_count, pair_unique=n_unique)
 
@@ -543,30 +616,40 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     # identical tokens (doubled letters etc.); their distance is ~0. Only the
     # reference's *geometric* candidate matrix excludes the diagonal (its
     # triu mask, hyperbolic_merge.py:258); corpus pairs are real occurrences.
-    valid = keys != jnp.uint32(0xFFFFFFFF)
-    rows = jnp.where(valid, (keys // jnp.uint32(max_v)).astype(jnp.int32), 0)
-    cols = jnp.where(valid, (keys % jnp.uint32(max_v)).astype(jnp.int32), 0)
+    valid = keys[:, 0] != scoring.PKEY_SENT
+    rows = jnp.where(valid, keys[:, 0].astype(jnp.int32), 0)
+    cols = jnp.where(valid, keys[:, 1].astype(jnp.int32), 0)
     dists = L.distance(base.emb[rows], base.emb[cols], base.curvature)
     dists = jnp.where(valid, dists, INF)
 
-    key, sub = jax.random.split(st.key)
-    score3 = _full_scores(st, config, rows, cols, dists,
-                          counts, sub)
+    score3 = _full_scores(st, config, rows, cols, dists, counts)
     ok = valid & (counts >= config.min_pair_freq)
     score3 = jnp.where(ok[:, None], score3, -INF)
 
     # Pairs already merged (any historical ordered pair) are consumed.
-    hist_keys = jnp.where(
-        jnp.arange(base.merges.shape[0]) < base.num_merges,
-        base.merges[:, 0].astype(jnp.uint32) * jnp.uint32(max_v)
-        + base.merges[:, 1].astype(jnp.uint32),
-        jnp.uint32(0xFFFFFFFF))
-    hist_sorted = jnp.sort(hist_keys)
-    consumed = scoring.in_sorted_set(keys, hist_sorted,
-                                     base.num_merges) & valid
+    in_hist = jnp.arange(base.merges.shape[0]) < base.num_merges
+    hist_hi = jnp.where(in_hist, base.merges[:, 0].astype(jnp.uint32),
+                        scoring.PKEY_SENT)
+    hist_lo = jnp.where(in_hist, base.merges[:, 1].astype(jnp.uint32),
+                        scoring.PKEY_SENT)
+    hist_hi, hist_lo = jax.lax.sort((hist_hi, hist_lo), num_keys=2)
+    consumed = scoring.in_sorted_pair_set(
+        keys[:, 0], keys[:, 1], hist_hi, hist_lo, base.num_merges) & valid
 
-    return st.replace(key=key, sp_dist=dists, sp_score=score3,
-                      sp_consumed=consumed)
+    # Per-phase score-sorted candidate queues (consume-on-read within the
+    # chunk; see module docstring).
+    k = config.queue_size
+    vals3 = jnp.where((~consumed)[:, None], score3, -INF)  # (T, 3)
+    top_vals, top_pos = jax.lax.top_k(vals3.T, k)          # (3, K) each
+    stored = top_vals > -INF
+    q_i = jnp.where(stored, rows[top_pos], -1)
+    q_j = jnp.where(stored, cols[top_pos], -1)
+    q_dist = jnp.where(stored, dists[top_pos], INF)
+    q_valid_total = jnp.sum((vals3 > -INF).astype(jnp.int32), axis=0)
+
+    return st.replace(q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=top_vals,
+                      q_valid_total=q_valid_total,
+                      needs_resync=jnp.asarray(False))
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_steps"),
@@ -585,7 +668,7 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
     attempt_cap = n_steps + 1024
 
     def cond(s):
-        return ((~s.base.stopped)
+        return ((~s.base.stopped) & (~s.needs_resync)
                 & (s.base.num_merges - start_merges < n_steps)
                 & (s.base.step - start_step < attempt_cap))
 

@@ -137,6 +137,84 @@ def in_sorted_set(keys: jax.Array, table: jax.Array, table_size: jax.Array) -> j
     return (table[pos] == keys) & (pos < table_size)
 
 
+# ------------------------------------------------------------------ pair keys
+#
+# Adjacent-pair keys are TWO uint32 lanes (hi = left token id, lo = right
+# token id), ordered lexicographically — which equals the order of the
+# mathematical key a*max_vocab+b. A single-lane uint32 packing overflows once
+# max_vocab exceeds 65535, and the reference DEFAULT is max_vocab_size=100000
+# (hyperbolic_merge.py:115): wrapped keys silently alias distinct pairs and
+# corrupt frequencies/consumed sets. Two lanes are exact for any id < 2^32
+# with x64 left disabled (TPU-native 32-bit ops), at the cost of one extra
+# compare/sort operand per op.
+
+PKEY_SENT = jnp.uint32(0xFFFFFFFF)  # sentinel in BOTH lanes; any valid hi
+                                    # lane is a token id < max_vocab
+
+
+def searchsorted_pairs(t_hi: jax.Array, t_lo: jax.Array,
+                       q_hi: jax.Array, q_lo: jax.Array) -> jax.Array:
+    """Vectorised lexicographic ``searchsorted`` (side='left') on lane pairs.
+
+    log2(T) rounds of batched gathers — same access pattern as
+    ``jnp.searchsorted``; use only for small query batches (the sort-join
+    covers large ones).
+    """
+    n = t_hi.shape[0]
+    lo = jnp.zeros(q_hi.shape, jnp.int32)
+    hi = jnp.full(q_hi.shape, n, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        mh = t_hi[mid]
+        ml = t_lo[mid]
+        lt = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        return jnp.where(lt, mid + 1, lo), jnp.where(lt, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, max(int(n), 1).bit_length(), body, (lo, hi))
+    return lo
+
+
+def _pair_membership_sort_join(q_hi, q_lo, t_hi, t_lo, table_size):
+    """Two-lane generalisation of :func:`_membership_sort_join`: sort
+    (table ++ queries) by (hi, lo, tag) and compare each query against the
+    most recent table row (propagated as an index by a prefix max)."""
+    q = q_hi.shape[0]
+    mt = t_hi.shape[0]
+    tpos = jnp.arange(mt, dtype=jnp.int32)
+    in_tbl = tpos < table_size
+    thi = jnp.where(in_tbl, t_hi, PKEY_SENT)
+    tlo = jnp.where(in_tbl, t_lo, PKEY_SENT)
+    allh = jnp.concatenate([thi, q_hi])
+    alll = jnp.concatenate([tlo, q_lo])
+    tag = jnp.concatenate([jnp.zeros((mt,), jnp.int32),
+                           jnp.ones((q,), jnp.int32)])
+    opos = jnp.concatenate([jnp.full((mt,), q, jnp.int32),
+                            jnp.arange(q, dtype=jnp.int32)])
+    sh, sl, stag, spos = jax.lax.sort((allh, alll, tag, opos), num_keys=3)
+    idx = jnp.arange(q + mt, dtype=jnp.int32)
+    tbl_mark = jnp.where((stag == 0) & (sh != PKEY_SENT), idx, jnp.int32(-1))
+    last_tbl = jax.lax.associative_scan(jnp.maximum, tbl_mark)
+    lt = jnp.maximum(last_tbl, 0)
+    member = ((stag == 1) & (last_tbl >= 0)
+              & (sh[lt] == sh) & (sl[lt] == sl) & (sh != PKEY_SENT))
+    out = jnp.zeros((q + 1,), jnp.bool_).at[spos].set(member)
+    return out[:q]
+
+
+def in_sorted_pair_set(q_hi, q_lo, t_hi, t_lo, table_size) -> jax.Array:
+    """Membership of (hi, lo) pair keys in a lex-sorted two-lane table."""
+    q_hi = q_hi.astype(jnp.uint32)
+    q_lo = q_lo.astype(jnp.uint32)
+    if q_hi.size >= 4096:
+        return _pair_membership_sort_join(q_hi, q_lo, t_hi, t_lo, table_size)
+    pos = searchsorted_pairs(t_hi, t_lo, q_hi, q_lo)
+    posc = jnp.minimum(pos, t_hi.shape[0] - 1)
+    return ((t_hi[posc] == q_hi) & (t_lo[posc] == q_lo)
+            & (pos < table_size))
+
+
 # --------------------------------------------------------------- corpus ops
 
 def apply_merge_to_corpus(corpus: jax.Array, i: jax.Array, j: jax.Array,
@@ -195,12 +273,12 @@ def replay_merges_on_corpus(corpus: jax.Array, pairs: jax.Array,
     return out
 
 
-def match_rules(key: jax.Array, merges: jax.Array, start, count,
-                n_init: int, max_vocab: int, *, rule_group: int = 512,
+def match_rules(key_hi: jax.Array, key_lo: jax.Array, merges: jax.Array,
+                start, count, n_init: int, *, rule_group: int = 512,
                 tile: int = 16384) -> jax.Array:
-    """Merged-token id for each pair key, or -1 where no rule matches.
+    """Merged-token id for each two-lane pair key, or -1 where none matches.
 
-    Rules are merges [start, start+count) with key a*max_vocab+b and merged
+    Rules are merges [start, start+count) with key lanes (a, b) and merged
     id n_init+k. Matching is a tiled broadcast-compare against rule groups —
     NOT a sorted-table binary search: a 16-round ``searchsorted`` over an
     N-element query array is 16 N-wide random gathers, which serialize on the
@@ -212,13 +290,14 @@ def match_rules(key: jax.Array, merges: jax.Array, start, count,
     is exact. O(N * count) compares, grouped so the common chunked-replay
     case (count <= rule_group) is a single sweep.
     """
-    n = key.shape[0]
+    n = key_hi.shape[0]
     n_tiles = -(-n // tile)
     pad_n = n_tiles * tile
     if pad_n != n:
-        key = jnp.pad(key, (0, pad_n - n),
-                      constant_values=jnp.uint32(0xFFFFFFFF))
-    key2 = key.reshape(n_tiles, tile)
+        key_hi = jnp.pad(key_hi, (0, pad_n - n), constant_values=PKEY_SENT)
+        key_lo = jnp.pad(key_lo, (0, pad_n - n), constant_values=PKEY_SENT)
+    key2 = jnp.stack([key_hi.reshape(n_tiles, tile),
+                      key_lo.reshape(n_tiles, tile)], axis=1)
     # Pad the rule table to a group multiple so no dynamic_slice start is ever
     # clamped (a clamp would silently shift the group window off its ids).
     max_k = merges.shape[0]
@@ -235,15 +314,13 @@ def match_rules(key: jax.Array, merges: jax.Array, start, count,
         rules = jax.lax.dynamic_slice_in_dim(merges, g0, rule_group, axis=0)
         ks = g0 + jnp.arange(rule_group, dtype=jnp.int32)
         ok = (ks >= start) & (ks < start + count) & (rules[:, 0] >= 0)
-        rkey = jnp.where(
-            ok,
-            rules[:, 0].astype(jnp.uint32) * jnp.uint32(max_vocab)
-            + rules[:, 1].astype(jnp.uint32),
-            jnp.uint32(0xFFFFFFFF))
+        rhi = jnp.where(ok, rules[:, 0].astype(jnp.uint32), PKEY_SENT)
+        rlo = jnp.where(ok, rules[:, 1].astype(jnp.uint32), PKEY_SENT)
         rid = jnp.asarray(n_init, jnp.int32) + ks
 
         def one_tile(kt):
-            eq = kt[:, None] == rkey[None, :]
+            eq = (kt[0][:, None] == rhi[None, :]) \
+                & (kt[1][:, None] == rlo[None, :])
             return jnp.max(jnp.where(eq, rid[None, :], jnp.int32(-1)), axis=1)
 
         acc = jnp.maximum(acc, jax.lax.map(one_tile, key2).reshape(pad_n))
@@ -252,13 +329,23 @@ def match_rules(key: jax.Array, merges: jax.Array, start, count,
     _, matched = jax.lax.while_loop(
         lambda carry: carry[0] < n_groups, one_group,
         (jnp.asarray(0, jnp.int32), jnp.full((pad_n,), -1, jnp.int32)))
-    # 0xFFFFFFFF sentinel keys can never match: a valid rule key encodes
-    # a, b < max_vocab <= 2^16-ish, so key < max_vocab^2 < 2^32 - 1.
+    # Sentinel keys can never match: a valid rule hi lane is a token id,
+    # strictly below the 0xFFFFFFFF sentinel.
     return matched[:n]
 
 
+def _adjacent_pair_keys(c: jax.Array):
+    """Two-lane (hi, lo) keys for each adjacent corpus pair; sentinel where
+    either side is PAD/SEP."""
+    nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
+    valid = (c >= 0) & (nxt >= 0)
+    hi = jnp.where(valid, c.astype(jnp.uint32), PKEY_SENT)
+    lo = jnp.where(valid, nxt.astype(jnp.uint32), PKEY_SENT)
+    return hi, lo, valid
+
+
 def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
-                          start, count, n_init: int, max_vocab: int) -> jax.Array:
+                          start, count, n_init: int) -> jax.Array:
     """Apply merges [start, start+count) as ONE rule table to fixpoint.
 
     Each pass matches *all* rules simultaneously (tiled compare via
@@ -289,14 +376,8 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
                     >= jnp.asarray(n_init, jnp.int32) + start))
 
     def one_pass(c):
-        nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
-        valid = (c >= 0) & (nxt >= 0)
-        key = jnp.where(
-            valid,
-            c.astype(jnp.uint32) * jnp.uint32(max_vocab)
-            + nxt.astype(jnp.uint32),
-            jnp.uint32(0xFFFFFFFF))
-        mid = match_rules(key, merges, start, count, n_init, max_vocab)
+        hi, lo, valid = _adjacent_pair_keys(c)
+        mid = match_rules(hi, lo, merges, start, count, n_init)
         m = valid & (mid >= 0)
         prev_m = jnp.roll(m, 1).at[0].set(False)
         run_start = m & ~prev_m
@@ -324,7 +405,7 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
 
 
 def batch_rank_replay(corpus: jax.Array, merges: jax.Array,
-                      start, count, n_init: int, max_vocab: int) -> jax.Array:
+                      start, count, n_init: int) -> jax.Array:
     """Apply merges [start, start+count) in RANK order (classic BPE).
 
     Equivalent to applying each rule fully (left-to-right non-overlapping)
@@ -381,14 +462,8 @@ def batch_rank_replay(corpus: jax.Array, merges: jax.Array,
         return sel
 
     def one_pass(c):
-        nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
-        valid = (c >= 0) & (nxt >= 0)
-        key = jnp.where(
-            valid,
-            c.astype(jnp.uint32) * jnp.uint32(max_vocab)
-            + nxt.astype(jnp.uint32),
-            jnp.uint32(0xFFFFFFFF))
-        mid = match_rules(key, merges, start, count, n_init, max_vocab)
+        hi, lo, valid = _adjacent_pair_keys(c)
+        mid = match_rules(hi, lo, merges, start, count, n_init)
         m = valid & (mid >= 0)
         applied = select_matching(m, mid)  # mid is monotone in rank
         applied_prev = jnp.roll(applied, 1).at[0].set(False)
@@ -416,29 +491,25 @@ def corpus_token_count(corpus: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------- pair count snapshot
 
-def build_pair_table(corpus: jax.Array, max_vocab: int, table_size: int):
+def build_pair_table(corpus: jax.Array, table_size: int):
     """Sorted (pair_key, count) snapshot of adjacent-pair frequencies.
 
-    pair_key = a * max_vocab + b in uint32 (requires max_vocab^2 < 2^32).
-    Returns (keys_sorted, counts, n_unique, max_count). Unused slots hold
-    key=0xFFFFFFFF / count=0.
+    Pair keys are two uint32 lanes (hi = left id, lo = right id) in
+    lexicographic order — exact at any vocab size (the single-lane
+    a*max_vocab+b packing wraps above 65535 ids). Returns
+    (keys_sorted (T, 2), counts, n_unique, max_count). Unused slots hold
+    key = (0xFFFFFFFF, 0xFFFFFFFF) / count = 0.
     """
-    a = corpus
-    b = jnp.roll(corpus, -1).at[-1].set(PAD_ID)
-    valid = (a >= 0) & (b >= 0)  # excludes PAD and SEP
-    key = jnp.where(
-        valid,
-        a.astype(jnp.uint32) * jnp.uint32(max_vocab) + b.astype(jnp.uint32),
-        jnp.uint32(0xFFFFFFFF),
-    )
-    key = jnp.sort(key)
-    n = key.shape[0]
+    khi, klo, _ = _adjacent_pair_keys(corpus)  # sentinel where PAD/SEP
+    khi, klo = jax.lax.sort((khi, klo), num_keys=2)
+    n = khi.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    sent = jnp.uint32(0xFFFFFFFF)
+    sent = PKEY_SENT
     # Run boundaries of the sorted keys; `head` = boundaries of real runs.
-    prev = jnp.roll(key, 1)
-    bnd = jnp.concatenate([jnp.ones((1,), jnp.bool_), key[1:] != prev[1:]])
-    head = bnd & (key != sent)
+    bnd = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])])
+    head = bnd & (khi != sent)
     # Per-run counts come from *boundary position differences* (suffix-min
     # scan + tiny gathers) rather than a second N-element scatter-add: a
     # random scatter serializes on TPU (~9 ns/element — 18 ms at N=2M),
@@ -453,7 +524,8 @@ def build_pair_table(corpus: jax.Array, max_vocab: int, table_size: int):
     hp_t = hp[:table_size]
     ok = hp_t < n
     hp_c = jnp.minimum(hp_t, n - 1)
-    keys_out = jnp.where(ok, key[hp_c], sent)
+    keys_out = jnp.stack([jnp.where(ok, khi[hp_c], sent),
+                          jnp.where(ok, klo[hp_c], sent)], axis=-1)
     counts = jnp.where(ok, nbp_excl[hp_c] - hp_t, 0).astype(jnp.int32)
     n_unique = jnp.sum(head.astype(jnp.int32))
     max_count = jnp.max(counts)
@@ -462,9 +534,15 @@ def build_pair_table(corpus: jax.Array, max_vocab: int, table_size: int):
     return (keys_out, counts, n_unique, max_count)
 
 
-def lookup_pair_counts(keys: jax.Array, table_keys: jax.Array,
-                      table_counts: jax.Array) -> jax.Array:
-    """Counts for uint32 pair keys (0 when absent)."""
-    pos = jnp.searchsorted(table_keys, keys)
-    pos = jnp.minimum(pos, table_keys.shape[0] - 1)
-    return jnp.where(table_keys[pos] == keys, table_counts[pos], 0)
+def lookup_pair_counts(q_hi: jax.Array, q_lo: jax.Array,
+                       table_keys: jax.Array,
+                       table_counts: jax.Array) -> jax.Array:
+    """Counts for (hi, lo) pair keys in a (T, 2) table (0 when absent)."""
+    q_hi = q_hi.astype(jnp.uint32)
+    q_lo = q_lo.astype(jnp.uint32)
+    t_hi = table_keys[:, 0]
+    t_lo = table_keys[:, 1]
+    pos = searchsorted_pairs(t_hi, t_lo, q_hi, q_lo)
+    pos = jnp.minimum(pos, t_hi.shape[0] - 1)
+    hit = (t_hi[pos] == q_hi) & (t_lo[pos] == q_lo)
+    return jnp.where(hit, table_counts[pos], 0)

@@ -6,6 +6,11 @@ of arrays, including RNG key, thresholds, curvature Adam state and the corpus)
 plus the host-side strings round-trip through an orbax checkpoint + JSON
 sidecar, so training continues exactly where it stopped — including after a
 host restart.
+
+Format compatibility: the checkpoint template is the CURRENT EnhancedState
+pytree. Checkpoints written before the two-lane pair-key / candidate-queue
+redesign (pair_keys (T,) uint32, sp_* arrays) do not restore into this
+version — delete and retrain, or restore with the matching older build.
 """
 
 from __future__ import annotations

@@ -216,3 +216,106 @@ def test_corpus_shrinking_is_semantically_inert():
 
     assert t_shrink.merge_history == t_plain.merge_history
     assert t_shrink.merge_history  # non-trivial
+
+
+def test_enhanced_training_correct_at_100k_vocab():
+    """Regression (VERDICT r1 #2): the enhanced loop is exact at the shipped
+    default max_vocab_size=100000 with token ids above 65535.
+
+    Uses corpus-grounded (BPE-like) mode with a hand-built state: the corpus
+    holds high-id pairs chosen to ALIAS under the old uint32 a*max_v+b
+    packing; training must merge them by true frequency and create new ids
+    beyond 65535 that later replays resolve correctly.
+    """
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    from hyptokenizer_tpu.tokenizer.state import MergeConfig, MergeState
+
+    max_v = 100_000
+    n_init = 95_000
+    d1 = 5
+    # Old-packing collision pair (see test_scoring): frequencies 3 vs 2.
+    a1, b1 = 92_950, 1_000
+    a2, b2 = 50_000, 33_704
+    line = [a1, b1, -2, a2, b2, -2, a1, b1, -2, a2, b2, -2, a1, b1]
+    corpus = jnp.asarray(line + [-1] * 19, jnp.int32)
+
+    emb = jnp.zeros((max_v, d1), jnp.float32).at[:, 0].set(1.0)  # origin
+    base = MergeState(
+        emb=emb,
+        lengths=jnp.ones((max_v,), jnp.int32),
+        best_dist=jnp.full((max_v,), jnp.inf, jnp.float32),
+        best_j=jnp.zeros((max_v,), jnp.int32),
+        merges=jnp.full((max_v, 2), -1, jnp.int32),
+        merge_dists=jnp.zeros((max_v,), jnp.float32),
+        vocab_size=jnp.asarray(n_init, jnp.int32),
+        num_merges=jnp.asarray(0, jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        threshold=jnp.asarray(10.0, jnp.float32),
+        curvature=jnp.asarray(1.0, jnp.float32),
+        empty_rounds=jnp.asarray(0, jnp.int32),
+        stopped=jnp.asarray(False, jnp.bool_),
+    )
+    config = E.EnhancedConfig(
+        base=MergeConfig(max_vocab_size=max_v, use_pallas=False),
+        n_init=n_init, has_corpus=True, use_frequency=True,
+        use_dense_channel=False, merge_batch=1, freq_table_size=1 << 12)
+    (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, coh_samples,
+     token_hash, byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
+        jnp.zeros((0, 2), jnp.uint32), jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0,), jnp.bool_), max_v, 1 << 12,
+        config.queue_size, config.coherence_samples)
+    st = E.EnhancedState(
+        base=base, key=jax.random.PRNGKey(0),
+        phase=jnp.asarray(1, jnp.int32), corpus=corpus,
+        corpus_synced=jnp.asarray(0, jnp.int32),
+        corpus_tokens=jnp.asarray(0, jnp.int32),
+        pair_keys=pair_keys, pair_counts=pair_counts,
+        max_pair_count=jnp.asarray(0, jnp.int32),
+        pair_unique=jnp.asarray(0, jnp.int32),
+        q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=q_score,
+        q_valid_total=jnp.zeros((3,), jnp.int32),
+        needs_resync=jnp.asarray(False), coh_samples=coh_samples,
+        token_hash=token_hash, byte_lengths=byte_lengths,
+        has_vowel=has_vowel,
+        hash_powers=jnp.zeros((2, 8), jnp.uint32),
+        morph_table=jnp.full((8,), 0xFFFFFFFF, jnp.uint32),
+        morph_size=jnp.asarray(0, jnp.int32),
+        word_table=jnp.full((8,), 0xFFFFFFFF, jnp.uint32),
+        word_size=jnp.asarray(0, jnp.int32),
+        curv_m=jnp.asarray(0.0, jnp.float32),
+        curv_v=jnp.asarray(0.0, jnp.float32),
+        curv_t=jnp.asarray(0, jnp.int32),
+        curv_last=jnp.asarray(0, jnp.int32),
+    )
+    st = E.run_enhanced(st, config, 1)
+    # First merge must be the truly-more-frequent (a1, b1), not an alias mix.
+    assert int(st.base.num_merges) == 1
+    assert (int(st.base.merges[0, 0]), int(st.base.merges[0, 1])) == (a1, b1)
+    # Second chunk: replay must rewrite (a1, b1) -> 95000 and then pick
+    # (a2, b2), whose count survives un-aliased.
+    st = E.run_enhanced(st, config, 1)
+    assert int(st.base.num_merges) == 2
+    assert (int(st.base.merges[1, 0]), int(st.base.merges[1, 1])) == (a2, b2)
+    st = E.sync_corpus(st, config)  # flush the still-pending second merge
+    got = [int(x) for x in np.asarray(st.corpus) if int(x) >= 0]
+    assert got == [n_init, n_init + 1, n_init, n_init + 1, n_init]
+
+
+def test_training_summary_separate_from_stats(tmp_path):
+    """ADVICE r1: the run summary must not pollute training_stats (per-step
+    consumers index every entry by 'step')."""
+    import json
+    import os
+    tok = make_tok(FrequencyAwareHyperbolicTokenizer)
+    tok.optimize_merges(steps=4, log_every=2)
+    assert all("step" in s for s in tok.training_stats)
+    assert tok.training_summary and "merges_per_sec" in tok.training_summary
+    d = str(tmp_path / "tok")
+    tok.save(d)
+    with open(os.path.join(d, "training_summary.json")) as f:
+        assert json.load(f)["merges"] == len(tok.merge_history)
+    # The curves plotter consumes the saved stats without KeyError.
+    from hyptokenizer_tpu.cli.analysis import plot_training_curves
+    with open(os.path.join(d, "training_stats.json")) as f:
+        stats = json.load(f)
+    plot_training_curves(stats, str(tmp_path / "curves.png"))

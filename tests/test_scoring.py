@@ -50,11 +50,11 @@ def test_replay_matches_python_tokenizer():
 
 def test_pair_table_counts():
     c = jnp.asarray([1, 2, 1, 2, 2, 1, -1, -1], jnp.int32)
-    keys, counts, n_unique, max_count = S.build_pair_table(c, 10, 16)
+    keys, counts, n_unique, max_count = S.build_pair_table(c, 16)
     # pairs: (1,2) x2, (2,1) x2, (2,2) x1  — (1,-1) invalid
     lk = S.lookup_pair_counts(
-        jnp.asarray([1 * 10 + 2, 2 * 10 + 1, 2 * 10 + 2, 3 * 10 + 3],
-                    jnp.uint32), keys, counts)
+        jnp.asarray([1, 2, 2, 3], jnp.uint32),
+        jnp.asarray([2, 1, 2, 3], jnp.uint32), keys, counts)
     np.testing.assert_array_equal(np.asarray(lk), [2, 2, 1, 0])
     assert int(n_unique) == 3
     assert int(max_count) == 2
@@ -97,28 +97,31 @@ def test_match_rules_group_boundaries():
     merges[:1600] = rng.integers(0, 60, (1600, 2))
     # Rule window straddles the 512-wide group boundary at 1024.
     start, count = 900, 300
-    key_np = rng.integers(0, 60, 4096).astype(np.uint32) * max_v \
-        + rng.integers(0, 60, 4096).astype(np.uint32)
+    hi_np = rng.integers(0, 60, 4096).astype(np.uint32)
+    lo_np = rng.integers(0, 60, 4096).astype(np.uint32)
     # Sprinkle keys that actually match in-window rules.
     for k in range(start, start + count, 7):
-        key_np[rng.integers(0, 4096)] = merges[k, 0] * max_v + merges[k, 1]
+        p = rng.integers(0, 4096)
+        hi_np[p], lo_np[p] = merges[k, 0], merges[k, 1]
     got = np.asarray(S.match_rules(
-        jnp.asarray(key_np), jnp.asarray(merges), jnp.asarray(start),
-        jnp.asarray(count), n_init, max_v))
+        jnp.asarray(hi_np), jnp.asarray(lo_np), jnp.asarray(merges),
+        jnp.asarray(start), jnp.asarray(count), n_init))
     naive = {}
     for k in range(start, start + count):
-        kk = merges[k, 0] * max_v + merges[k, 1]
+        kk = (merges[k, 0], merges[k, 1])
         if kk not in naive:                 # first rule wins is irrelevant:
             naive[kk] = n_init + k          # duplicates can't occur in real
-    want = np.asarray([naive.get(int(kq), -1) for kq in key_np])
+    want = np.asarray([naive.get((h, l), -1)
+                       for h, l in zip(hi_np, lo_np)])
     # Where duplicate synthetic rules share a key, match_rules returns the
     # max id; accept either by masking those keys out.
     from collections import Counter
     dup = {kk for kk, c in Counter(
-        merges[k, 0] * max_v + merges[k, 1]
+        (merges[k, 0], merges[k, 1])
         for k in range(start, start + count)).items() if c > 1}
-    mask = np.asarray([int(kq) not in dup for kq in key_np])
+    mask = np.asarray([(h, l) not in dup for h, l in zip(hi_np, lo_np)])
     np.testing.assert_array_equal(got[mask], want[mask])
+    assert max_v  # id magnitudes no longer bound the key packing
 
 
 def test_membership_sort_join_matches_binary_search():
@@ -147,13 +150,13 @@ def test_pair_table_matches_counter_random():
     c[rng.integers(0, 5000, 300)] = -2   # SEP
     c[4200:] = -1                        # PAD tail
     keys, counts, n_unique, max_count = S.build_pair_table(
-        jnp.asarray(c), 100, 4096)
+        jnp.asarray(c), 4096)
     want = Counter((int(a), int(b)) for a, b in zip(c[:-1], c[1:])
                    if a >= 0 and b >= 0)
     got = {}
-    for k, n in zip(np.asarray(keys), np.asarray(counts)):
-        if int(k) != 0xFFFFFFFF:
-            got[(int(k) // 100, int(k) % 100)] = int(n)
+    for (a, b), n in zip(np.asarray(keys), np.asarray(counts)):
+        if int(a) != 0xFFFFFFFF:
+            got[(int(a), int(b))] = int(n)
     assert got == dict(want)
     assert int(n_unique) == len(want)
     assert int(max_count) == max(want.values())
@@ -238,7 +241,7 @@ def test_batch_replay_matches_tokenize_fixpoint_oracle():
                      for k in range(start, start + cnt)}
             ref = tokenize_fixpoint(ref, rules)
             dev = S.batch_fixpoint_replay(dev, mergearr, start, cnt,
-                                          n_init, MAXV)
+                                          n_init)
             start += cnt
         got = [int(x) for x in np.asarray(dev) if int(x) != -1]
         assert got == ref, (trial, corpus, merges)
@@ -292,7 +295,79 @@ def test_batch_rank_replay_matches_sequential_oracle():
         while start < K:
             cnt = min(rng.randint(1, 6), K - start)
             dev = S.batch_rank_replay(dev, mergearr, start, cnt,
-                                      n_init, MAXV)
+                                      n_init)
             start += cnt
         got = [int(x) for x in np.asarray(dev) if int(x) != -1]
         assert got == ref, (trial, corpus, merges)
+
+
+def test_pair_keys_exact_above_uint16_ids():
+    """Regression: ids > 65535 (reference default max_vocab_size=100000).
+
+    The old single-lane packing a*max_vocab+b wrapped in uint32 above 65535
+    ids, aliasing distinct pairs. Two pairs chosen to collide under the old
+    packing must stay distinct in the two-lane table.
+    """
+    max_v = 100_000
+    a1, b1 = 92_950, 1_000
+    a2, b2 = 50_000, 33_704
+    # Premise check: these DO alias under the old uint32 packing.
+    old1 = np.uint32(np.uint64(a1) * np.uint64(max_v) + np.uint64(b1))
+    old2 = np.uint32(np.uint64(a2) * np.uint64(max_v) + np.uint64(b2))
+    assert old1 == old2
+    c = jnp.asarray([a1, b1, -2, a2, b2, -2, a1, b1, -1, -1], jnp.int32)
+    keys, counts, n_unique, max_count = S.build_pair_table(c, 16)
+    got = {(int(h), int(l)): int(n)
+           for (h, l), n in zip(np.asarray(keys), np.asarray(counts))
+           if int(h) != 0xFFFFFFFF}
+    assert got == {(a1, b1): 2, (a2, b2): 1}
+    assert int(n_unique) == 2
+
+    lk = S.lookup_pair_counts(
+        jnp.asarray([a1, a2, a1], jnp.uint32),
+        jnp.asarray([b1, b2, b2], jnp.uint32), keys, counts)
+    np.testing.assert_array_equal(np.asarray(lk), [2, 1, 0])
+
+    # Replay with high-id rules: (a1, b1) -> 100001-ish new id.
+    merges = jnp.full((8, 2), -1, jnp.int32).at[0].set(
+        jnp.asarray([a1, b1], jnp.int32))
+    n_init = 95_000
+    out = S.batch_fixpoint_replay(c, merges, 0, jnp.asarray(1), n_init)
+    got = [int(x) for x in np.asarray(out) if int(x) != -1]
+    assert got == [n_init, -2, a2, b2, -2, n_init]
+
+
+def test_searchsorted_pairs_and_membership_oracle():
+    rng = np.random.default_rng(11)
+    tbl = np.unique(
+        rng.integers(0, 1 << 20, (3000, 2)).astype(np.uint32), axis=0)
+    order = np.lexsort((tbl[:, 1], tbl[:, 0]))
+    tbl = tbl[order]
+    tsize = tbl.shape[0]
+    pad = np.full((4096 - tsize, 2), 0xFFFFFFFF, np.uint32)
+    full = np.concatenate([tbl, pad])
+    queries = np.concatenate([
+        tbl[rng.integers(0, tsize, 2000)],                # hits
+        rng.integers(0, 1 << 20, (3000, 2)).astype(np.uint32),  # misses
+        np.asarray([[0xFFFFFFFF, 0xFFFFFFFF], [0, 0]], np.uint32),
+        tbl[:1], tbl[-1:],
+    ])
+    t_hi = jnp.asarray(full[:, 0])
+    t_lo = jnp.asarray(full[:, 1])
+    q_hi = jnp.asarray(queries[:, 0])
+    q_lo = jnp.asarray(queries[:, 1])
+    tbl_set = {tuple(r) for r in tbl}
+    want = np.asarray([tuple(q) in tbl_set for q in queries])
+    # Sort-join path (>= 4096 queries) and binary-search path (small).
+    got_big = np.asarray(S.in_sorted_pair_set(
+        q_hi, q_lo, t_hi, t_lo, jnp.asarray(tsize, jnp.int32)))
+    np.testing.assert_array_equal(got_big, want)
+    got_small = np.asarray(S.in_sorted_pair_set(
+        q_hi[:100], q_lo[:100], t_hi, t_lo, jnp.asarray(tsize, jnp.int32)))
+    np.testing.assert_array_equal(got_small, want[:100])
+    # searchsorted positions against numpy's lexicographic oracle.
+    pos = np.asarray(S.searchsorted_pairs(t_hi, t_lo, q_hi[:500], q_lo[:500]))
+    fullv = full[:, 0].astype(np.uint64) * (1 << 32) + full[:, 1]
+    qv = (queries[:500, 0].astype(np.uint64) * (1 << 32)
+          + queries[:500, 1])
+    np.testing.assert_array_equal(pos, np.searchsorted(fullv, qv))
