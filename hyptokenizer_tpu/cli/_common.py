@@ -51,6 +51,102 @@ def add_common_tokenizer_args(p: argparse.ArgumentParser) -> None:
                    help="checkpoint every N chunks (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint-dir")
+    p.add_argument("--config", type=str, default=None,
+                   help="TrainConfig JSON (path or inline); sets flag "
+                        "defaults — explicit flags still win. Persisted as "
+                        "train_config.json next to the artifacts")
+    p.add_argument("--metrics-path", type=str, default=None,
+                   help="append per-chunk metrics as JSONL to this path")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the training loop to "
+                        "this directory (view with TensorBoard/xprof)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on any NaN produced under jit (sanitizer "
+                        "equivalent)")
+
+
+def parse_with_config(p: argparse.ArgumentParser, argv=None):
+    """Parse args with ``--config`` JSON providing flag DEFAULTS.
+
+    Two-pass parse: --config is read first, its fields become parser defaults
+    (only for dests the parser actually has), then the full parse runs so
+    explicitly-passed flags override the config file.
+    Returns (args, config_or_None).
+    """
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", type=str, default=None)
+    ns, _ = pre.parse_known_args(argv)
+    cfg = None
+    if ns.config:
+        import dataclasses
+        from hyptokenizer_tpu.utils.config import TrainConfig
+        cfg = TrainConfig.from_json(ns.config)
+        known = {a.dest for a in p._actions}
+        d = dataclasses.asdict(cfg)
+        pts = d.pop("phase_transition_steps", None) or {}
+        if pts:
+            d["phase2_step"] = pts.get(2, 1000)
+            d["phase3_step"] = pts.get(3, 6000)
+        p.set_defaults(**{k: v for k, v in d.items()
+                          if k in known and v is not None})
+    return p.parse_args(argv), cfg
+
+
+def persist_train_config(args, output_dir: str) -> None:
+    """Write the effective knob surface as train_config.json (SURVEY §5.6)."""
+    import dataclasses
+    import os
+    from hyptokenizer_tpu.utils.config import TrainConfig
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    eff = {k: v for k, v in vars(args).items() if k in known}
+    if hasattr(args, "phase2_step"):
+        eff["phase_transition_steps"] = {2: args.phase2_step,
+                                         3: args.phase3_step}
+    os.makedirs(output_dir, exist_ok=True)
+    TrainConfig(**eff).to_json(os.path.join(output_dir, "train_config.json"))
+
+
+def add_multihost_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed and run the merge loop "
+                        "sharded over the global (all-hosts) mesh")
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="host:port of process 0 (auto-detected on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="run sharded over all LOCAL devices (single-host "
+                        "SPMD) even without --multihost")
+
+
+def maybe_init_multihost(args):
+    """Initialise jax.distributed per the flags; return the mesh to train on
+    (None = unsharded single-device path)."""
+    if getattr(args, "multihost", False):
+        from hyptokenizer_tpu.parallel.multihost import (
+            global_mesh, initialize_multihost)
+        initialize_multihost(coordinator_address=args.coordinator_address,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
+        return global_mesh()
+    if getattr(args, "mesh", False):
+        from hyptokenizer_tpu.parallel.mesh import make_mesh
+        return make_mesh()
+    return None
+
+
+def training_observability(args):
+    """(metrics_writer, profile_ctx, per-chunk callback) from the aux flags."""
+    import contextlib
+    from hyptokenizer_tpu.utils.metrics import (
+        MetricsWriter, enable_nan_checks, profile_trace)
+    if getattr(args, "debug_nans", False):
+        enable_nan_checks(True)
+    writer = MetricsWriter(args.metrics_path) if args.metrics_path else None
+    ctx = profile_trace(args.profile) if args.profile else (
+        contextlib.nullcontext())
+    cb = writer.log if writer else (lambda stat: None)
+    return writer, ctx, cb
 
 
 def maybe_pretrain_embeddings(args, vocab, emb):

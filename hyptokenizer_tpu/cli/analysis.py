@@ -80,30 +80,148 @@ def relative_differences(results: Dict[str, float]) -> Dict[str, Dict[str, float
     return out
 
 
+def plot_distortion_vs_vocab(results_dir: str, methods: List[str],
+                             vocab_sizes: List[int], out_path: str) -> int:
+    """Mean±std hierarchy-distortion curves per method over vocab sizes.
+
+    Layout convention (reference notebooks/analysis.py:43-116):
+    ``{results_dir}/{method}/v{V}/distortion_stats.json`` as written by
+    cli/eval_hierarchy.py. Missing grid points are skipped. Returns the
+    number of points plotted.
+    """
+    import json
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(10, 6))
+    n_points = 0
+    for method in methods:
+        xs, means, stds = [], [], []
+        for v in vocab_sizes:
+            path = os.path.join(results_dir, method, f"v{v}",
+                                "distortion_stats.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                stats = json.load(f)
+            xs.append(v)
+            means.append(stats["mean"])
+            stds.append(stats.get("std", 0.0))
+            n_points += 1
+        if xs:
+            means = np.asarray(means)
+            stds = np.asarray(stds)
+            ax.plot(xs, means, marker="o", label=method.capitalize())
+            ax.fill_between(xs, means - stds, means + stds, alpha=0.2)
+    ax.set_xlabel("Vocabulary Size")
+    ax.set_ylabel("Average Distortion")
+    ax.set_title("Distortion vs. Vocabulary Size")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return n_points
+
+
+def plot_perplexity_vs_distortion(results_dir: str, methods: List[str],
+                                  vocab_sizes: List[int],
+                                  out_path: str) -> int:
+    """Scatter of downstream MLM perplexity vs hierarchy distortion
+    (reference notebooks/analysis.py:118-205). Reads
+    ``{results_dir}/{method}/v{V}/distortion_stats.json`` and
+    ``.../v{V}/nlp_results.json`` (cli/train_nlp_tasks.py output; either the
+    mlm_perplexity or mlm_val_perplexity key). Returns points plotted."""
+    import json
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(10, 6))
+    n_points = 0
+    for method in methods:
+        xs, ys, labels = [], [], []
+        for v in vocab_sizes:
+            base = os.path.join(results_dir, method, f"v{v}")
+            spath = os.path.join(base, "distortion_stats.json")
+            npath = os.path.join(base, "nlp_results.json")
+            if not (os.path.exists(spath) and os.path.exists(npath)):
+                continue
+            with open(spath) as f:
+                stats = json.load(f)
+            with open(npath) as f:
+                nlp = json.load(f)
+            ppl = nlp.get("mlm_val_perplexity", nlp.get("mlm_perplexity"))
+            if ppl is None:
+                continue
+            xs.append(stats["mean"])
+            ys.append(ppl)
+            labels.append(f"{v // 1000}K")
+            n_points += 1
+        if xs:
+            ax.scatter(xs, ys, s=100, alpha=0.7, label=method.capitalize())
+            for x, y, lab in zip(xs, ys, labels):
+                ax.annotate(lab, (x, y), fontsize=8, alpha=0.7)
+    ax.set_xlabel("Distortion")
+    ax.set_ylabel("Perplexity")
+    ax.set_title("Perplexity vs. Distortion")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return n_points
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--tokenizer-dir", type=str, required=True)
+    p.add_argument("--tokenizer-dir", type=str, default=None)
     p.add_argument("--output-dir", type=str, required=True)
     p.add_argument("--comparison-json", type=str, default=None,
                    help="output of cli.compare_tokenizers for relative-diff "
                         "analysis")
+    p.add_argument("--results-dir", type=str, default=None,
+                   help="experiment grid root ({method}/v{V}/...) for the "
+                        "distortion-vs-vocab and perplexity-vs-distortion "
+                        "plots")
+    p.add_argument("--methods", type=str,
+                   default="hyperbolic,bpe,wordpiece,unigram",
+                   help="comma-separated method subdirs under --results-dir")
+    p.add_argument("--vocab-sizes", type=str, default="10000,20000,50000",
+                   help="comma-separated vocab grid under --results-dir")
     args = p.parse_args(argv)
     setup_logging()
     os.makedirs(args.output_dir, exist_ok=True)
+    if not args.tokenizer_dir and not args.results_dir:
+        p.error("need --tokenizer-dir and/or --results-dir")
 
-    stats_path = os.path.join(args.tokenizer_dir, "training_stats.json")
-    if os.path.exists(stats_path):
-        stats = _load_json(stats_path)
-        if stats:
-            plot_training_curves(
-                stats, os.path.join(args.output_dir, "training_curves.png"))
-            print("wrote training_curves.png")
+    if args.results_dir:
+        methods = [m for m in args.methods.split(",") if m]
+        sizes = [int(v) for v in args.vocab_sizes.split(",") if v]
+        n = plot_distortion_vs_vocab(
+            args.results_dir, methods, sizes,
+            os.path.join(args.output_dir, "distortion_vs_vocab.png"))
+        print(f"wrote distortion_vs_vocab.png ({n} grid points)")
+        n = plot_perplexity_vs_distortion(
+            args.results_dir, methods, sizes,
+            os.path.join(args.output_dir, "perplexity_vs_distortion.png"))
+        print(f"wrote perplexity_vs_distortion.png ({n} grid points)")
 
-    from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
-    tok = HyperbolicTokenizer.load(args.tokenizer_dir)
-    plot_embedding_projection(
-        tok.embeddings, os.path.join(args.output_dir, "embedding_pca.png"))
-    print("wrote embedding_pca.png")
+    if args.tokenizer_dir:
+        stats_path = os.path.join(args.tokenizer_dir, "training_stats.json")
+        if os.path.exists(stats_path):
+            stats = _load_json(stats_path)
+            if stats:
+                plot_training_curves(
+                    stats,
+                    os.path.join(args.output_dir, "training_curves.png"))
+                print("wrote training_curves.png")
+
+        from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
+        tok = HyperbolicTokenizer.load(args.tokenizer_dir)
+        plot_embedding_projection(
+            tok.embeddings, os.path.join(args.output_dir,
+                                         "embedding_pca.png"))
+        print("wrote embedding_pca.png")
 
     if args.comparison_json:
         comp = _load_json(args.comparison_json)

@@ -21,6 +21,10 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--output-path", type=str, default=None)
+    p.add_argument("--sentencepiece-model", type=str, default=None,
+                   help="optional SentencePiece .model baseline to measure "
+                        "alongside (reference benchmark_efficiency.py:97-123)"
+                        "; skipped gracefully when the package is absent")
     args = p.parse_args(argv)
     setup_logging()
 
@@ -42,6 +46,17 @@ def main(argv=None):
     result_encode = measure_throughput(
         lambda t: tok.encode(t), texts, runs=args.runs, warmup=args.warmup)
     result = {"tokenize": result, "encode": result_encode}
+
+    if args.sentencepiece_model:
+        from hyptokenizer_tpu.evals.baselines import (
+            SentencePieceWrapper, sentencepiece_available)
+        if sentencepiece_available():
+            sp = SentencePieceWrapper(args.sentencepiece_model)
+            result["sentencepiece"] = measure_throughput(
+                sp.tokenize, texts, runs=args.runs, warmup=args.warmup)
+        else:
+            result["sentencepiece"] = {
+                "skipped": "sentencepiece package not installed"}
 
     stats_path = os.path.join(args.tokenizer_dir, "training_stats.json")
     if os.path.exists(stats_path):

@@ -14,13 +14,16 @@ import os
 
 from hyptokenizer_tpu.cli._common import (
     add_common_tokenizer_args, load_or_build_vocab, maybe_pretrain_embeddings,
-    set_seeds, setup_logging,
+    add_multihost_args, maybe_init_multihost, parse_with_config,
+    persist_train_config, set_seeds, setup_logging,
+    training_observability,
 )
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_tokenizer_args(p)
+    add_multihost_args(p)
     ba = argparse.BooleanOptionalAction
     p.add_argument("--use-frequency-aware", action=ba, default=True)
     p.add_argument("--use-hierarchical", action=ba, default=True)
@@ -57,10 +60,11 @@ def main(argv=None):
                    help="lossless regex pre-split: merges never cross "
                         "segment boundaries (words = GPT-2-style leading-"
                         "space word units); applied at train AND encode time")
-    args = p.parse_args(argv)
+    args, _ = parse_with_config(p, argv)
 
     setup_logging()
     set_seeds(args.seed)
+    mesh = maybe_init_multihost(args)
 
     from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
     from hyptokenizer_tpu.utils import data
@@ -98,6 +102,7 @@ def main(argv=None):
         min_pair_freq=args.min_pair_freq,
         use_dense_channel=args.use_dense_channel,
         seed=args.seed,
+        mesh=mesh,
     )
     if args.resume and args.checkpoint_dir:
         from hyptokenizer_tpu.utils.checkpoint import restore_checkpoint
@@ -112,12 +117,21 @@ def main(argv=None):
                 save_checkpoint(args.checkpoint_dir, tok)
 
         tok.register_callback(_ckpt_cb)
-    tok.optimize_merges(
-        steps=args.steps, log_every=args.log_every,
-        target_vocab_size=args.target_vocab_size,
-        phase_transition_steps={2: args.phase2_step, 3: args.phase3_step},
-    )
+    writer, profile_ctx, metrics_cb = training_observability(args)
+    tok.register_callback(metrics_cb)
+    with profile_ctx:
+        tok.optimize_merges(
+            steps=args.steps, log_every=args.log_every,
+            target_vocab_size=args.target_vocab_size,
+            phase_transition_steps={2: args.phase2_step, 3: args.phase3_step},
+        )
+    if writer and tok.training_summary:
+        writer.log(tok.training_summary)
+    import jax
+    if jax.process_index() != 0:
+        return  # only process 0 writes artifacts on a multi-host job
     tok.save(args.output_dir)
+    persist_train_config(args, args.output_dir)
     print(f"saved enhanced tokenizer with {tok.current_vocab_size} tokens "
           f"(phase {tok.current_phase}, c={tok.curvature:.4f}) to "
           f"{args.output_dir}")

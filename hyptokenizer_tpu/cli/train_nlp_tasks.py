@@ -18,7 +18,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--method", default="hyperbolic",
                    choices=["hyperbolic", "bpe", "wordpiece", "unigram",
-                            "char"])
+                            "char", "sentencepiece"])
     p.add_argument("--model-path", required=True,
                    help="tokenizer dir (hyperbolic) or tokenizer.json")
     p.add_argument("--task", choices=["mlm", "classification", "both"],

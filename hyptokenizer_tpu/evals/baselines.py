@@ -96,6 +96,54 @@ TRAINERS = {
 }
 
 
+def sentencepiece_available() -> bool:
+    try:
+        import sentencepiece  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class SentencePieceWrapper:
+    """External SentencePiece baseline (reference
+    benchmark_efficiency.py:97-123, train_nlp_tasks.py:82-84). Import-gated:
+    the package is an optional external baseline, never a framework
+    dependency — ``sentencepiece_available()`` reports whether this wrapper
+    can be constructed."""
+
+    def __init__(self, model_path: str):
+        import sentencepiece as spm
+        self.tokenizer = spm.SentencePieceProcessor()
+        self.tokenizer.load(model_path)
+
+    def tokenize(self, text: str) -> List[str]:
+        return self.tokenizer.encode_as_pieces(text)
+
+    def encode(self, text: str) -> List[int]:
+        return self.tokenizer.encode_as_ids(text)
+
+    def decode(self, ids: List[int]) -> str:
+        return self.tokenizer.decode_ids(list(ids))
+
+    def get_vocab_size(self) -> int:
+        return self.tokenizer.get_piece_size()
+
+
+def train_sentencepiece(files: List[str], vocab_size: int, output_dir: str,
+                        model_type: str = "bpe") -> Optional[str]:
+    """Train a SentencePiece baseline model; None when the package is absent
+    (graceful degradation — the comparison harness skips the row)."""
+    if not sentencepiece_available():
+        return None
+    import sentencepiece as spm
+    os.makedirs(output_dir, exist_ok=True)
+    prefix = os.path.join(output_dir, f"sp_{model_type}_{vocab_size}")
+    spm.SentencePieceTrainer.train(
+        input=",".join(files), model_prefix=prefix,
+        vocab_size=vocab_size, model_type=model_type)
+    return prefix + ".model"
+
+
 def train_all_baselines(files: List[str], output_dir: str,
                         vocab_sizes: Iterable[int] = (10_000, 20_000, 50_000),
                         kinds: Iterable[str] = ("bpe", "wordpiece", "unigram",

@@ -120,6 +120,69 @@ class ViTTower(nn.Module):
         return x[:, 0]
 
 
+class HFFlaxTextTower(nn.Module):
+    """Adapter: a HuggingFace Flax text model as the text tower.
+
+    Pass the HF model's inner flax module (``FlaxBertModel(cfg).module``);
+    graft its pretrained ``.params`` into the initialized variables with
+    :func:`graft_pretrained_params`. Mirrors the reference's hardcoded
+    ``bert-base-uncased`` tower (multimodal/contrastive_loss.py:176-179) but
+    accepts any HF Flax text model at any size.
+    """
+
+    hf_module: Any
+
+    @nn.compact
+    def __call__(self, ids, attention_mask=None):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(ids)
+        out = self.hf_module(input_ids=ids, attention_mask=attention_mask,
+                             deterministic=True)
+        pooled = getattr(out, "pooler_output", None)
+        if pooled is None:
+            pooled = out.last_hidden_state[:, 0]
+        return pooled
+
+
+class HFFlaxImageTower(nn.Module):
+    """Adapter: a HuggingFace Flax vision model (e.g. FlaxViTModel) as the
+    image tower. HF Flax vision models take channel-LAST pixel values
+    (NHWC) — the same layout the built-in ViTTower uses; channel-first
+    input is transposed."""
+
+    hf_module: Any
+
+    @nn.compact
+    def __call__(self, images):
+        if images.ndim == 4 and images.shape[1] in (1, 3) \
+                and images.shape[-1] not in (1, 3):
+            images = jnp.transpose(images, (0, 2, 3, 1))
+        out = self.hf_module(pixel_values=images, deterministic=True)
+        pooled = getattr(out, "pooler_output", None)
+        if pooled is None:
+            pooled = out.last_hidden_state[:, 0]
+        return pooled
+
+
+def graft_pretrained_params(params, text_params=None, image_params=None):
+    """Insert HF ``model.params`` trees into an initialized
+    ``MultimodalHyperbolicModel`` param tree.
+
+    The HF submodule lives at ``{text,image}_encoder/hf_module`` (flax names
+    submodules by attribute); initialization gives it random weights, this
+    swaps in the pretrained ones. Raises KeyError when the model was not
+    built with the HF tower adapters.
+    """
+    import flax
+
+    p = flax.core.unfreeze(params)
+    if text_params is not None:
+        p["text_encoder"]["hf_module"] = text_params
+    if image_params is not None:
+        p["image_encoder"]["hf_module"] = image_params
+    return p
+
+
 class MultimodalHyperbolicModel(nn.Module):
     """Two towers -> MLP projectors -> hyperboloid (contrastive_loss.py:132-248)."""
 

@@ -41,6 +41,10 @@ class TokenizerAdapter:
         if method == "hyperbolic":
             from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
             self.tokenizer = HyperbolicTokenizer.load(model_path)
+        elif method == "sentencepiece":
+            # Gated external baseline (reference train_nlp_tasks.py:82-84).
+            from hyptokenizer_tpu.evals.baselines import SentencePieceWrapper
+            self.sp = SentencePieceWrapper(model_path)
         elif method in ("bpe", "wordpiece", "unigram", "char"):
             from tokenizers import Tokenizer
             self.hf = Tokenizer.from_file(model_path)
@@ -50,11 +54,15 @@ class TokenizerAdapter:
     def tokenize(self, text: str) -> List[str]:
         if self.method == "hyperbolic":
             return self.tokenizer.tokenize(text)
+        if self.method == "sentencepiece":
+            return self.sp.tokenize(text)
         return self.hf.encode(text).tokens
 
     def encode(self, text: str, max_length: int = 128) -> Dict:
         if self.method == "hyperbolic":
             ids = self.tokenizer.encode(text)
+        elif self.method == "sentencepiece":
+            ids = self.sp.encode(text)
         else:
             ids = self.hf.encode(text).ids
         ids = ids[:max_length]
@@ -63,6 +71,8 @@ class TokenizerAdapter:
     def batch_encode(self, texts: List[str], max_length: int = 128) -> Dict:
         if self.method == "hyperbolic":
             all_ids = self.tokenizer.encode_batch(texts)
+        elif self.method == "sentencepiece":
+            all_ids = [self.sp.encode(t) for t in texts]
         else:
             all_ids = [e.ids for e in self.hf.encode_batch(texts)]
         out = {"input_ids": [], "attention_mask": []}
@@ -75,6 +85,8 @@ class TokenizerAdapter:
     def get_vocab_size(self) -> int:
         if self.method == "hyperbolic":
             return len(self.tokenizer.vocab)
+        if self.method == "sentencepiece":
+            return self.sp.get_vocab_size()
         return self.hf.get_vocab_size()
 
     def get_embeddings(self) -> Optional[np.ndarray]:

@@ -26,8 +26,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     On Cloud TPU pods all arguments are auto-detected; explicit values support
     CPU/GPU clusters and tests.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    # NOTE: jax.process_count() would itself initialise the XLA backend,
+    # after which jax.distributed.initialize() refuses to run — use the
+    # dedicated predicate.
+    if jax.distributed.is_initialized():
+        return
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -37,7 +41,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         logger.info("jax.distributed initialised: process %d/%d, %d devices",
                     jax.process_index(), jax.process_count(),
                     jax.device_count())
-    except Exception as e:  # single-host fallback
+    except Exception as e:
+        if explicit:
+            # A requested coordinator that cannot be reached is a hard error —
+            # silently running single-host would corrupt a multi-host job.
+            raise
         logger.info("multi-host init skipped (%s); running single-host", e)
 
 

@@ -55,9 +55,18 @@ class HyperbolicTokenizer:
         search_block: int = 512,
         normalizer=None,
         merge_policy: str = "fixpoint",
+        mesh=None,
     ):
         if len(vocab) > max_vocab_size:
             raise ValueError("initial vocab larger than max_vocab_size")
+        # SPMD mesh (parallel.mesh.make_mesh / multihost.global_mesh): the
+        # training loop runs sharded over it; max_vocab_size rounds up so the
+        # row axis divides evenly.
+        self.mesh = mesh
+        if mesh is not None:
+            from hyptokenizer_tpu.parallel.mesh import pad_vocab_for_mesh
+            max_vocab_size = pad_vocab_for_mesh(int(max_vocab_size),
+                                                mesh.devices.size)
         self.normalizer = normalizer  # Optional[NormalizerConfig]; None = raw
         # "fixpoint" = the reference's multi-pass first-match scan (conformance
         # default); "priority" = classic BPE rank order, which reproduces the
@@ -120,6 +129,45 @@ class HyperbolicTokenizer:
         self._encoder = None  # merge rules changed
         return n_dev - n_host
 
+    # ------------------------------------------------ threshold controller
+    _stats_key = 0  # per-instance draw counter for the stats sampler
+
+    def distance_statistics(self, sample_size: int = 1000) -> Dict[str, float]:
+        """Sampled pairwise-distance diagnostics (reference surface,
+        fast_hyperbolic_merge.py:433-465)."""
+        st = self.state
+        self._stats_key += 1
+        out = np.asarray(state_lib.distance_statistics(
+            st.emb, st.vocab_size, st.curvature,
+            jax.random.PRNGKey(self._stats_key), sample_size))
+        return {"min": float(out[0]), "max": float(out[1]),
+                "mean": float(out[2]), "std": float(out[3])}
+
+    def _set_threshold(self, value: float) -> None:
+        self.state = self.state.replace(
+            threshold=jnp.asarray(value, jnp.float32))
+        self.merge_threshold = float(value)
+
+    def _startup_threshold_adjust(self) -> Optional[Dict[str, float]]:
+        """Reference startup controller (fast_hyperbolic_merge.py:487-505):
+        degenerate geometry drops the threshold to 1e-5; a threshold above the
+        sampled max is pulled down to 1.5x the mean distance."""
+        stats = self.distance_statistics()
+        logger.info("Initial distance statistics: min=%.6f max=%.6f "
+                    "mean=%.6f std=%.6f", stats["min"], stats["max"],
+                    stats["mean"], stats["std"])
+        thr = float(self.state.threshold)
+        if stats["max"] < 1e-6:
+            logger.warning("Maximum distance is near zero — auto-adjusting "
+                           "merge threshold to 1e-05")
+            self._set_threshold(1e-5)
+        elif thr > stats["max"]:
+            new = min(thr, stats["mean"] * 1.5)
+            if new != thr:
+                logger.info("Adjusted initial merge threshold to %.6f", new)
+                self._set_threshold(new)
+        return stats
+
     def optimize_merges(self, steps: int = 10_000, log_every: int = 1000,
                         **_compat) -> None:
         """Run the merge loop (API parity: hyperbolic_merge.py:357-412).
@@ -130,20 +178,37 @@ class HyperbolicTokenizer:
         if "adaptive_threshold" in _compat:
             self.config = self.config.replace(
                 adaptive_threshold=bool(_compat["adaptive_threshold"]))
+        # Once per tokenizer: CLIs call optimize_merges as a chunking loop,
+        # and re-running the controller would undo in-loop threshold growth.
+        if self.config.adaptive_threshold and \
+                not getattr(self, "_threshold_adjusted", False):
+            self._threshold_adjusted = True
+            self._startup_threshold_adjust()
         done = 0
         while done < steps:
             chunk = min(log_every, steps - done)
             t0 = time.perf_counter()
-            self.state = state_lib.run_merges(self.state, self.config, chunk)
+            if self.mesh is not None:
+                from hyptokenizer_tpu.parallel.sharded import run_merges_sharded
+                self.state = run_merges_sharded(self.state, self.config,
+                                                chunk, self.mesh)
+            else:
+                self.state = state_lib.run_merges(self.state, self.config,
+                                                  chunk)
             new = self._sync_merges_from_device()
             dt = time.perf_counter() - t0
             done += chunk
+            dstats = self.distance_statistics()
             stat = {
                 "step": int(self.state.step),
                 "vocab_size": len(self.vocab),
                 "merges": len(self.merge_history),
                 "threshold": float(self.state.threshold),
                 "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
+                "min_dist": dstats["min"],
+                "max_dist": dstats["max"],
+                "mean_dist": dstats["mean"],
+                "std_dist": dstats["std"],
             }
             self.training_stats.append(stat)
             logger.info("step %(step)d: vocab=%(vocab_size)d merges=%(merges)d "

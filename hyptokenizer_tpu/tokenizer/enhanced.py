@@ -99,6 +99,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         seed: int = 0,
         normalizer=None,
         merge_policy: str = "fixpoint",
+        mesh=None,
     ):
         super().__init__(
             vocab, embeddings, curvature=curvature,
@@ -108,6 +109,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             search_block=search_block,
             normalizer=normalizer,
             merge_policy=merge_policy,
+            mesh=mesh,
         )
         self.language = language
         self.callbacks: List[Callable] = []
@@ -248,6 +250,9 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         is dropped; merge sequences are bit-identical — tested), at the cost
         of one jit compile per power-of-two size (cached across runs).
         """
+        import jax as _jax
+        if self.mesh is not None and _jax.process_count() > 1:
+            return  # sharded corpus is not host-addressable across processes
         corpus = self.enh_state.corpus
         buf = corpus.shape[0]
         if buf <= self.MIN_CORPUS_BUFFER:
@@ -294,8 +299,14 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 break
             chunk = min(log_every, steps - done)
             t0 = time.perf_counter()
-            self.enh_state = E.run_enhanced(self.enh_state, self.enh_config,
-                                            chunk)
+            if self.mesh is not None:
+                from hyptokenizer_tpu.parallel.sharded import (
+                    run_enhanced_sharded)
+                self.enh_state = run_enhanced_sharded(
+                    self.enh_state, self.enh_config, chunk, self.mesh)
+            else:
+                self.enh_state = E.run_enhanced(self.enh_state,
+                                                self.enh_config, chunk)
             new = self._sync_merges_from_device()
             if self.enh_config.needs_corpus:
                 self._maybe_shrink_corpus()
@@ -313,6 +324,9 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 train_seconds += dt
             done += chunk
             self.current_phase = int(self.enh_state.phase)
+            # Per-chunk sampled distance diagnostics (the reference logs these
+            # every log_every steps, enhanced_…:1077-1111).
+            dstats = self.distance_statistics()
             stat = {
                 "step": int(self.state.step),
                 "vocab_size": len(self.vocab),
@@ -322,6 +336,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 "phase": self.current_phase,
                 "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
                 "pair_table_unique": int(self.enh_state.pair_unique),
+                "min_dist": dstats["min"],
+                "max_dist": dstats["max"],
+                "mean_dist": dstats["mean"],
+                "std_dist": dstats["std"],
             }
             if stat["pair_table_unique"] > self.enh_config.freq_table_size:
                 logger.warning(

@@ -25,11 +25,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
-PAD_ID = jnp.int32(-1)
+# numpy (not jnp) scalars: creating a jnp value at import time initialises
+# the XLA backend, which breaks jax.distributed.initialize() for any caller
+# that imports this package before multi-host setup.
+PAD_ID = _np.int32(-1)
 # Line separator: breaks adjacency (the reference counts pairs per line,
 # frequency_aware_…:92-112) but survives compaction, unlike PAD.
-SEP_ID = jnp.int32(-2)
+SEP_ID = _np.int32(-2)
 
 # Two 16-bit-prime rolling hashes packed into one uint32 key (x64 is disabled;
 # 65520^2 < 2^32 keeps the modular products exact in uint32).
@@ -148,7 +152,7 @@ def in_sorted_set(keys: jax.Array, table: jax.Array, table_size: jax.Array) -> j
 # with x64 left disabled (TPU-native 32-bit ops), at the cost of one extra
 # compare/sort operand per op.
 
-PKEY_SENT = jnp.uint32(0xFFFFFFFF)  # sentinel in BOTH lanes; any valid hi
+PKEY_SENT = _np.uint32(0xFFFFFFFF)  # sentinel in BOTH lanes; any valid hi
                                     # lane is a token id < max_vocab
 
 

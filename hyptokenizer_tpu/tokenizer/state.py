@@ -137,6 +137,27 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("sample_size",))
+def distance_statistics(emb: jax.Array, vocab_size: jax.Array,
+                        curvature: jax.Array, key: jax.Array,
+                        sample_size: int = 1000):
+    """min/max/mean/std of sampled pairwise distances.
+
+    Parity: the reference's ``_compute_distance_statistics``
+    (fast_hyperbolic_merge.py:433-465) — it draws ``sample_size`` distinct
+    pairs host-side one ``.item()`` at a time; here one vectorised draw with
+    replacement (statistically equivalent diagnostics, ~1000x fewer device
+    round-trips).
+    """
+    k1, k2 = jax.random.split(key)
+    n = jnp.maximum(vocab_size, 2)
+    i = jax.random.randint(k1, (sample_size,), 0, n)
+    j = jax.random.randint(k2, (sample_size,), 0, n - 1)
+    j = jnp.where(j >= i, j + 1, j)  # uniform over j != i
+    d = L.distance(emb[i], emb[j], curvature)
+    return jnp.stack([jnp.min(d), jnp.max(d), jnp.mean(d), jnp.std(d)])
+
+
 def midpoint_insert(emb: jax.Array, lengths: jax.Array, i: jax.Array,
                     j: jax.Array, new_idx: jax.Array, c: jax.Array):
     """Weighted tangent-space midpoint of tokens i and j, written at new_idx.

@@ -168,3 +168,94 @@ def test_bench_scaling_cli(capsys):
     data = json.loads(out.strip().splitlines()[-1])
     assert "steps_per_sec_by_devices" in data
     assert all(v > 0 for v in data["steps_per_sec_by_devices"].values())
+
+
+def test_aux_flags_config_metrics_profile_nans(corpus_file, tmp_path):
+    """--config / --metrics-path / --profile / --debug-nans are wired
+    (VERDICT r1 #5): config JSON sets defaults, explicit flags win, metrics
+    stream as JSONL, a profiler trace directory is produced, and the
+    effective config persists next to the artifacts."""
+    from hyptokenizer_tpu.cli import train_enhanced_tokenizer
+    from hyptokenizer_tpu.utils.config import TrainConfig
+
+    cfg_path = str(tmp_path / "cfg.json")
+    TrainConfig(embedding_dim=8, steps=20, log_every=10,
+                merge_threshold=2.0, max_vocab_size=128,
+                use_hierarchical=False, use_adaptive_curvature=False,
+                use_compression_aware=False,
+                corpus_max_tokens=2048).to_json(cfg_path)
+    out = str(tmp_path / "enh")
+    metrics = str(tmp_path / "metrics.jsonl")
+    profile_dir = str(tmp_path / "trace")
+    train_enhanced_tokenizer.main([
+        "--corpus-path", corpus_file, "--output-dir", out,
+        "--config", cfg_path,
+        "--steps", "16",              # explicit flag overrides config's 20
+        "--metrics-path", metrics,
+        "--profile", profile_dir,
+        "--debug-nans"])
+    import jax
+    assert jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", False)
+    # Metrics JSONL: one record per chunk + the summary record.
+    with open(metrics) as f:
+        records = [json.loads(ln) for ln in f]
+    chunk_recs = [r for r in records if "step" in r]
+    assert len(chunk_recs) == 2  # 16 steps / log_every 10 -> 2 chunks
+    assert all("time" in r for r in records)
+    assert any("merges_per_sec" in r for r in records)  # summary streamed
+    # Profiler trace directory was written.
+    assert os.path.isdir(profile_dir) and os.listdir(profile_dir)
+    # Effective config persisted; config defaults vs flag override visible.
+    with open(os.path.join(out, "train_config.json")) as f:
+        eff = json.load(f)
+    assert eff["steps"] == 16                  # flag won
+    assert eff["embedding_dim"] == 8           # config default applied
+    assert eff["use_hierarchical"] is False
+    # Round-trips back into a TrainConfig.
+    cfg2 = TrainConfig.from_json(os.path.join(out, "train_config.json"))
+    assert cfg2.tokenizer_kwargs()["max_vocab_size"] == 128
+
+
+def test_aux_flags_base_cli(corpus_file, tmp_path):
+    from hyptokenizer_tpu.cli import train_tokenizer
+    out = str(tmp_path / "base")
+    metrics = str(tmp_path / "m.jsonl")
+    train_tokenizer.main([
+        "--corpus-path", corpus_file, "--output-dir", out,
+        "--embedding-dim", "8", "--steps", "20", "--log-every", "10",
+        "--merge-threshold", "2.0", "--max-vocab-size", "128",
+        "--metrics-path", metrics])
+    with open(metrics) as f:
+        records = [json.loads(ln) for ln in f]
+    assert len(records) == 2 and all("vocab_size" in r for r in records)
+    assert os.path.exists(os.path.join(out, "train_config.json"))
+
+
+def test_analysis_grid_plots(tmp_path):
+    """distortion-vs-vocab + perplexity-vs-distortion plots from the
+    experiment-grid layout (VERDICT r1 #8; reference notebooks/analysis.py
+    :43-205)."""
+    grid = tmp_path / "results"
+    for method, dist, ppl in [("hyperbolic", 1.2, 40.0), ("bpe", 2.0, 35.0)]:
+        for v in (1000, 2000):
+            d = grid / method / f"v{v}"
+            d.mkdir(parents=True)
+            (d / "distortion_stats.json").write_text(
+                json.dumps({"mean": dist + v / 10000, "std": 0.1}))
+            (d / "nlp_results.json").write_text(
+                json.dumps({"mlm_perplexity": ppl - v / 1000}))
+    out = tmp_path / "figs"
+    from hyptokenizer_tpu.cli import analysis
+    analysis.main(["--results-dir", str(grid), "--output-dir", str(out),
+                   "--methods", "hyperbolic,bpe,missing",
+                   "--vocab-sizes", "1000,2000,4000"])
+    assert os.path.exists(out / "distortion_vs_vocab.png")
+    assert os.path.exists(out / "perplexity_vs_distortion.png")
+    n = analysis.plot_distortion_vs_vocab(
+        str(grid), ["hyperbolic", "bpe"], [1000, 2000],
+        str(out / "d2.png"))
+    assert n == 4
+    n = analysis.plot_perplexity_vs_distortion(
+        str(grid), ["hyperbolic"], [1000, 2000, 4000], str(out / "p2.png"))
+    assert n == 2

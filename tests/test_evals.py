@@ -1,5 +1,7 @@
 """Evaluation layer tests: hierarchy distortion, comparison metrics, baselines."""
 
+import os
+
 import jax
 import networkx as nx
 import numpy as np
@@ -88,3 +90,25 @@ def test_baseline_tokenizers(tmp_path):
     assert res["bpe_200"]["vocab_size"] > 5
     import os
     assert os.path.exists(res["bpe_200"]["path"])
+
+
+def test_sentencepiece_gated_wrapper():
+    """SP baseline is import-gated (VERDICT r1 #10): absent package degrades
+    gracefully; present package round-trips a trained model."""
+    from hyptokenizer_tpu.evals import baselines as B
+    if not B.sentencepiece_available():
+        # Graceful degradation path: trainer returns None, wrapper untested.
+        assert B.train_sentencepiece(["/dev/null"], 100, "/tmp/spx") is None
+        return
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        corpus = os.path.join(d, "c.txt")
+        with open(corpus, "w") as f:
+            f.write("the cat sat on the mat\nthe dog sat on the log\n" * 50)
+        model = B.train_sentencepiece([corpus], 60, d)
+        assert model and os.path.exists(model)
+        sp = B.SentencePieceWrapper(model)
+        ids = sp.encode("the cat sat")
+        assert ids and sp.decode(ids) == "the cat sat"
+        assert sp.get_vocab_size() == 60
+        assert sp.tokenize("the cat")

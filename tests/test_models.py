@@ -114,3 +114,51 @@ def test_infonce_wrapper():
     z = L.random_points(key, 8, 10, sigma=0.5)
     loss_fn = HyperbolicInfoNCE(temperature=0.1)
     assert np.isfinite(float(loss_fn(z, z)))
+
+
+def test_hf_flax_tower_adapter():
+    """Pretrained-tower adapter (VERDICT r1 #10): HF Flax BERT/ViT modules
+    drop into MultimodalHyperbolicModel; pretrained params graft into the
+    initialized tree and change the outputs. Mocked weights (tiny local
+    configs) — no network."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    pytest.importorskip("transformers")
+    from transformers import BertConfig, ViTConfig
+    from transformers import FlaxBertModel, FlaxViTModel
+    from hyptokenizer_tpu.models.multimodal import (
+        HFFlaxImageTower, HFFlaxTextTower, MultimodalHyperbolicModel,
+        graft_pretrained_params)
+    from hyptokenizer_tpu.ops import lorentz as L
+
+    bert = FlaxBertModel(
+        BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                   num_attention_heads=2, intermediate_size=64,
+                   max_position_embeddings=32), seed=0)
+    vit = FlaxViTModel(
+        ViTConfig(hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                  intermediate_size=64, image_size=16, patch_size=8,
+                  num_channels=3), seed=0)
+    model = MultimodalHyperbolicModel(
+        text_encoder=HFFlaxTextTower(bert.module),
+        image_encoder=HFFlaxImageTower(vit.module),
+        projection_dim=8, hidden_dim=16)
+    ids = jnp.ones((2, 8), jnp.int32)
+    images = jnp.ones((2, 16, 16, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ids, images)
+    zt, zi = model.apply(variables, ids, images)
+    assert zt.shape == (2, 9) and zi.shape == (2, 9)
+    # On the hyperboloid: <x, x>_L == 1.
+    mink = np.asarray(L.minkowski_dot(zt, zt))
+    np.testing.assert_allclose(mink, 1.0, atol=1e-4)
+
+    # Graft the "pretrained" HF weights (here: the HF models' own params,
+    # which differ from model.init's random tower weights).
+    params2 = graft_pretrained_params(variables["params"],
+                                      text_params=bert.params,
+                                      image_params=vit.params)
+    zt2, zi2 = model.apply({"params": params2}, ids, images)
+    assert zt2.shape == (2, 9)
+    assert not np.allclose(np.asarray(zt), np.asarray(zt2))

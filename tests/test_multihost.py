@@ -1,0 +1,85 @@
+"""Real 2-process jax.distributed test (VERDICT r1 #3).
+
+Two OS processes, each with 4 virtual CPU devices, join a localhost
+coordinator — the global mesh spans 8 devices ACROSS a process boundary, so
+collectives exercise the jax.distributed transport (the code path a TPU pod
+takes over DCN). Both the base and the enhanced sharded merge loops must
+produce the same merge sequences as a single-process run.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_DRIVER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "_multihost_driver.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_merge_sequences_match_single_process(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",          # never claim a TPU tunnel
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": _REPO,
+        # Each process must not inherit the parent test's device-count flag.
+        "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "cache"),
+    })
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = str(tmp_path / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, _DRIVER, coord, "2", str(pid), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    results = []
+    for out in outs:
+        with open(out) as f:
+            results.append(json.load(f))
+    assert all(r["process_count"] == 2 for r in results)
+    assert all(r["devices"] == 8 for r in results)
+    # Both processes saw identical global state.
+    assert results[0]["merges"] == results[1]["merges"]
+    assert results[0]["enhanced_merges"] == results[1]["enhanced_merges"]
+    assert len(results[0]["merges"]) > 10
+    assert len(results[0]["enhanced_merges"]) > 5
+
+    # Single-process oracle (all 8 devices in one process, same seeds).
+    oracle = str(tmp_path / "single.json")
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, _DRIVER, "", "1", "0", oracle],
+        env=env1, capture_output=True, text=True, timeout=480)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-4000:]
+    with open(oracle) as f:
+        single = json.load(f)
+    assert single["merges"] == results[0]["merges"]
+    assert single["enhanced_merges"] == results[0]["enhanced_merges"]

@@ -290,3 +290,52 @@ def test_merge_batch_respects_capacity_and_validity():
     np.testing.assert_array_equal(np.asarray(out.merges[:2]),
                                   [[0, 4], [2, 6]])  # invalid entry skipped
     assert int(out.vocab_size) == 10
+
+
+def test_startup_threshold_controller():
+    """Parity with the reference's startup controller
+    (fast_hyperbolic_merge.py:487-505): a threshold above the sampled max
+    distance is pulled down to 1.5x the mean; degenerate (all-zero-distance)
+    geometry drops it to 1e-5; per-chunk distance stats land in
+    training_stats."""
+    import jax
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
+
+    vocab = [f"t{i}" for i in range(32)]
+    emb = L.random_points(jax.random.PRNGKey(3), 32, 8, sigma=0.5)
+    tok = HyperbolicTokenizer(vocab, emb, merge_threshold=1e9,
+                              max_vocab_size=64, search_block=32)
+    stats = tok.distance_statistics()
+    assert stats["max"] > 1e-6
+    tok.optimize_merges(steps=2, log_every=2)
+    thr0 = tok.training_stats[0]["threshold"]
+    # Startup pulled 1e9 down to <= 1.5x mean (then in-loop adaptation may
+    # only have grown it by the periodic factor, not back to 1e9).
+    assert thr0 <= stats["mean"] * 1.5 * 1.2, (thr0, stats)
+    for k in ("min_dist", "max_dist", "mean_dist", "std_dist"):
+        assert k in tok.training_stats[0]
+
+    # Degenerate geometry: every token at the same point -> distances 0.
+    import numpy as np
+    origin = np.zeros((32, 9), np.float32)
+    origin[:, 0] = 1.0
+    tok2 = HyperbolicTokenizer(vocab, origin, merge_threshold=0.5,
+                               max_vocab_size=64, search_block=32)
+    tok2.optimize_merges(steps=1, log_every=1)
+    assert tok2.training_stats[0]["threshold"] <= 1e-5 * 1.2
+
+
+def test_threshold_controller_respects_low_threshold():
+    """A user threshold already below the sampled max is left alone."""
+    import jax
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
+
+    vocab = [f"t{i}" for i in range(32)]
+    emb = L.random_points(jax.random.PRNGKey(3), 32, 8, sigma=0.5)
+    tok = HyperbolicTokenizer(vocab, emb, merge_threshold=1e-4,
+                              max_vocab_size=64, search_block=32,
+                              adaptive_threshold=True)
+    tok._startup_threshold_adjust()
+    assert float(tok.state.threshold) == pytest.approx(1e-4)
