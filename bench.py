@@ -27,8 +27,25 @@ import sys
 import time
 
 # Persistent compile cache: first-compile latency through the TPU tunnel is
-# high; cached reruns skip it.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+# high; cached reruns skip it. Keyed by host CPU flags — this container
+# live-migrates between hosts, and stale XLA:CPU AOT entries SIGSEGV on a
+# feature-poorer host (see tests/conftest.py).
+
+
+def _cpu_feature_tag() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofeat"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      f"/tmp/jax_cache_tpu_{_cpu_feature_tag()}")
 
 import jax
 import jax.numpy as jnp

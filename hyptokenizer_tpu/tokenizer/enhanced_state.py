@@ -358,15 +358,24 @@ def _curvature_losses(st: EnhancedState, config: EnhancedConfig,
             + config.distortion_weight * distortion)
 
 
-def _maybe_update_curvature(st: EnhancedState, config: EnhancedConfig,
-                            key: jax.Array) -> EnhancedState:
-    """Adam step on curvature every ``curvature_freq`` merges."""
+def _maybe_update_curvature(st: EnhancedState,
+                            config: EnhancedConfig) -> EnhancedState:
+    """Adam step on curvature every ``curvature_freq`` merges.
+
+    The RNG key splits INSIDE the fired update only, so the key sequence is a
+    function of merge counts alone — the fused segment kernel
+    (ops/pallas/enhanced_loop.py) halts at curvature events and runs this
+    very function between segments, reproducing the while-loop path's RNG
+    stream exactly.
+    """
     if config.curvature_freq <= 0:
         return st
 
     def update(st):
         base = st.base
-        loss_fn = lambda c: _curvature_losses(st, config, key, c)
+        key, sub = jax.random.split(st.key)
+        st = st.replace(key=key)
+        loss_fn = lambda c: _curvature_losses(st, config, sub, c)
         g = jax.grad(loss_fn)(base.curvature)
         t = st.curv_t + 1
         b1, b2, eps = 0.9, 0.999, 1e-8
@@ -421,9 +430,7 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         st = st.replace(base=base, phase=phase)
 
     if config.use_adaptive_curvature:
-        key, sub = jax.random.split(st.key)
-        st = st.replace(key=key)
-        st = _maybe_update_curvature(st, config, sub)
+        st = _maybe_update_curvature(st, config)
         base = st.base
 
     pidx = jnp.clip(st.phase - 1, 0, 2)
@@ -654,14 +661,9 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
 
 @functools.partial(jax.jit, static_argnames=("config", "n_steps"),
                    donate_argnames=("st",))
-def run_enhanced(st: EnhancedState, config: EnhancedConfig,
-                 n_steps: int) -> EnhancedState:
-    """One chunk: sync corpus statistics, then merge up to ``n_steps`` tokens.
-
-    ``n_steps`` caps *merges* (the reference's step counter advances one merge
-    per step); loop iterations are additionally bounded so candidate-free
-    threshold-adaptation rounds terminate.
-    """
+def _run_enhanced_xla(st: EnhancedState, config: EnhancedConfig,
+                      n_steps: int) -> EnhancedState:
+    """XLA while-loop backend for :func:`run_enhanced`."""
     st = sync_corpus(st, config)
     start_merges = st.base.num_merges
     start_step = st.base.step
@@ -673,3 +675,32 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
                 & (s.base.step - start_step < attempt_cap))
 
     return jax.lax.while_loop(cond, lambda s: enhanced_step(s, config), st)
+
+
+# Segment-boundary helpers for the fused kernel backend.
+sync_corpus_jit = jax.jit(sync_corpus, static_argnames=("config",))
+curvature_update_jit = jax.jit(_maybe_update_curvature,
+                               static_argnames=("config",))
+
+
+def run_enhanced(st: EnhancedState, config: EnhancedConfig,
+                 n_steps: int) -> EnhancedState:
+    """One chunk: sync corpus statistics, then merge up to ``n_steps`` tokens.
+
+    ``n_steps`` caps *merges* (the reference's step counter advances one merge
+    per step); loop iterations are additionally bounded so candidate-free
+    threshold-adaptation rounds terminate.
+
+    Backend dispatch mirrors ``state.run_merges``: on TPU the chunk runs as
+    fused Pallas segment kernels (ops/pallas/enhanced_loop.py — per-step
+    dispatch latency amortises across a whole segment); elsewhere, or when
+    the kernel's shape preconditions fail, the jitted ``lax.while_loop``.
+    """
+    use_pallas = config.base.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from hyptokenizer_tpu.ops.pallas import enhanced_loop
+        if enhanced_loop.supports(st, config):
+            return enhanced_loop.run_enhanced_fused(st, config, n_steps)
+    return _run_enhanced_xla(st, config, n_steps)

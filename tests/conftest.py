@@ -17,9 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persistent compilation cache keeps repeat runs fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_hyptok")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# NO persistent compilation cache for CPU test runs: XLA:CPU executable
+# (de)serialization SIGSEGVs on this container (it live-migrates between
+# hosts with different ISA feature sets; observed crashes in BOTH
+# compilation_cache.get_executable_and_time and put_executable_and_time
+# mid-suite). Cold compiles cost ~2x suite time but never crash.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import jax  # noqa: E402
 

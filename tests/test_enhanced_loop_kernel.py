@@ -1,0 +1,157 @@
+"""Fused enhanced-loop kernel == XLA while-loop path (interpret mode).
+
+The segment kernel (ops/pallas/enhanced_loop.py) must reproduce the XLA
+``enhanced_step`` trajectory: same merge sequences, counters, thresholds and
+queue evolution, in both the flagship bpe-mode (corpus-only) and the
+all-features (dense + frequency + hierarchical + compression + adaptive
+curvature) configurations, across corpus-sync chunk boundaries.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyptokenizer_tpu.ops import lorentz as L
+from hyptokenizer_tpu.ops.pallas import enhanced_loop
+from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog and a rat",
+    "the rat sat and the cat sat",
+    "dogs and cats and rats ran fast",
+] * 6
+
+
+def make_state(**kw):
+    chars = sorted({ch for line in CORPUS for ch in line})
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + chars
+    emb = L.random_points(jax.random.PRNGKey(0), len(vocab), 8, sigma=0.6)
+    kw.setdefault("corpus_sample", CORPUS)
+    kw.setdefault("max_vocab_size", 256)
+    kw.setdefault("merge_threshold", 5.0)
+    kw.setdefault("search_block", 64)
+    kw.setdefault("corpus_max_tokens", 1024)
+    kw.setdefault("freq_table_size", 1024)
+    kw.setdefault("queue_size", 128)
+    kw.setdefault("seed", 0)
+    tok = EnhancedHyperbolicTokenizer(vocab, emb, **kw)
+    return tok.enh_state, tok.enh_config
+
+
+def copy_state(st):
+    return jax.tree.map(jnp.array, st)
+
+
+def run_both(st, config, chunks, n_steps):
+    st_x = copy_state(st)
+    st_k = copy_state(st)
+    for _ in range(chunks):
+        st_x = E._run_enhanced_xla(st_x, config, n_steps)
+        st_k = enhanced_loop.run_enhanced_fused(st_k, config, n_steps,
+                                                interpret=True,
+                                                segment_grid=64)
+    return st_x, st_k
+
+
+def assert_equivalent(st_x, st_k):
+    nx = int(st_x.base.num_merges)
+    nk = int(st_k.base.num_merges)
+    assert nx == nk, (nx, nk)
+    np.testing.assert_array_equal(np.asarray(st_x.base.merges[:nx]),
+                                  np.asarray(st_k.base.merges[:nk]))
+    assert int(st_x.base.vocab_size) == int(st_k.base.vocab_size)
+    assert int(st_x.base.step) == int(st_k.base.step)
+    assert int(st_x.phase) == int(st_k.phase)
+    assert bool(st_x.needs_resync) == bool(st_k.needs_resync)
+    np.testing.assert_allclose(float(st_x.base.threshold),
+                               float(st_k.base.threshold), rtol=1e-6)
+    # Lane-tree vs matmul reduction orders: fp noise compounds down merge
+    # chains; sequences above are exact, coordinates agree to ~1e-4.
+    np.testing.assert_allclose(np.asarray(st_x.base.emb),
+                               np.asarray(st_k.base.emb), atol=2e-4)
+    v = int(st_x.base.vocab_size)
+    np.testing.assert_array_equal(np.asarray(st_x.base.lengths[:v]),
+                                  np.asarray(st_k.base.lengths[:v]))
+    np.testing.assert_array_equal(np.asarray(st_x.token_hash[:v]),
+                                  np.asarray(st_k.token_hash[:v]))
+    np.testing.assert_array_equal(np.asarray(st_x.byte_lengths[:v]),
+                                  np.asarray(st_k.byte_lengths[:v]))
+
+
+def test_kernel_matches_xla_bpe_mode():
+    """Flagship corpus-only mode (dense channel off, frequency-dominant)."""
+    st, config = make_state(
+        use_dense_channel=False, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        alpha=0.1, beta=0.85, gamma=0.05, merge_batch=4, min_pair_freq=1)
+    assert enhanced_loop.supports(st, config)
+    st_x, st_k = run_both(st, config, chunks=3, n_steps=10)
+    assert int(st_x.base.num_merges) > 15
+    assert_equivalent(st_x, st_k)
+
+
+def test_kernel_matches_xla_all_features():
+    """All features on: dense channel + frequency + coherence + compression
+    + hierarchical phases + adaptive curvature events inside segments."""
+    st, config = make_state(
+        use_dense_channel=True, use_hierarchical=True,
+        use_adaptive_curvature=True, use_compression_aware=True,
+        optimize_curvature_freq=7, merge_batch=3, merge_threshold=0.4)
+    config = config.replace(phase2_step=6, phase3_step=14)
+    assert enhanced_loop.supports(st, config)
+    st_x, st_k = run_both(st, config, chunks=3, n_steps=8)
+    assert int(st_x.base.num_merges) > 10
+    assert int(st_x.phase) == 3  # crossed both phase transitions
+    assert_equivalent(st_x, st_k)
+    np.testing.assert_allclose(float(st_x.base.curvature),
+                               float(st_k.base.curvature), rtol=1e-5)
+    assert float(st_x.base.curvature) != pytest.approx(1.0)  # trained
+
+
+def test_kernel_matches_xla_dense_only():
+    """No corpus at all: pure geometric scored loop.
+
+    Compared only above the acosh clamp floor, like
+    test_merge_loop_kernel.py: the geometric chain collapses to exact-tie
+    distances where the two backends' fp reduction orders legitimately pick
+    different (equally minimal) pairs.
+    """
+    st, config = make_state(
+        corpus_sample=None, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        use_frequency_aware=False, merge_batch=2)
+    assert not config.needs_corpus
+    st_x, st_k = run_both(st, config, chunks=2, n_steps=12)
+    nx = int(st_x.base.num_merges)
+    assert nx == int(st_k.base.num_merges) > 10
+    assert int(st_x.base.step) == int(st_k.base.step)
+    da = np.asarray(st_x.base.merge_dists[:nx])
+    comparable = nx
+    for k in range(nx):
+        if da[k] <= 1e-3:
+            comparable = k
+            break
+    assert comparable >= 5  # teeth
+    np.testing.assert_array_equal(
+        np.asarray(st_x.base.merges[:comparable]),
+        np.asarray(st_k.base.merges[:comparable]))
+
+
+def test_kernel_queue_exhaustion_resync():
+    """A truncated queue that drains mid-chunk sets needs_resync identically
+    on both backends, and the next chunk continues correctly."""
+    st, config = make_state(
+        use_dense_channel=False, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        beta=0.9, alpha=0.05, gamma=0.05, merge_batch=4,
+        queue_size=128, freq_table_size=1024)
+    # Force truncation: shrink the queue below the unique-pair count by
+    # running with a tiny K. 128 is already < unique pairs of this corpus?
+    # The corpus has ~30 unique chars -> up to ~900 pairs; K=128 truncates.
+    st_x, st_k = run_both(st, config, chunks=6, n_steps=24)
+    assert int(st_x.base.num_merges) > 40
+    assert_equivalent(st_x, st_k)

@@ -371,3 +371,30 @@ def test_searchsorted_pairs_and_membership_oracle():
     qv = (queries[:500, 0].astype(np.uint64) * (1 << 32)
           + queries[:500, 1])
     np.testing.assert_array_equal(pos, np.searchsorted(fullv, qv))
+
+
+def test_fast_corpus_encoder_matches_python_oracle():
+    """Vectorised encode_corpus_chars == the python reference path, across
+    pre-split modes, truncation lengths, empty lines, unknown chars, and
+    regex-gap chars ('_')."""
+    import random
+    from hyptokenizer_tpu.tokenizer import normalize as N
+    from hyptokenizer_tpu.utils.data import (
+        encode_corpus_chars, encode_corpus_chars_py)
+
+    rng = random.Random(1)
+    alphabet = "ab c.,019_é!  \t"
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(set("abc.,019 é!"))
+    for trial in range(120):
+        texts = ["".join(rng.choice(alphabet)
+                         for _ in range(rng.randrange(0, 25)))
+                 for _ in range(rng.randrange(0, 6))]
+        for ps in (None, N.WHITESPACE, N.WORDS_WITH_SPACE):
+            for mt in (8, 64, 512):
+                a = encode_corpus_chars(texts, vocab, mt, pre_split=ps)
+                b = encode_corpus_chars_py(texts, vocab, mt, pre_split=ps)
+                np.testing.assert_array_equal(a, b, err_msg=f"{texts} {ps}")
+    # Non-canonical pattern falls back to the python path.
+    a = encode_corpus_chars(["ab ab"], vocab, 16, pre_split=r"[a-z]+")
+    b = encode_corpus_chars_py(["ab ab"], vocab, 16, pre_split=r"[a-z]+")
+    np.testing.assert_array_equal(a, b)
