@@ -65,7 +65,7 @@ from flax import struct
 from hyptokenizer_tpu.ops import lorentz as L
 from hyptokenizer_tpu.tokenizer import scoring
 from hyptokenizer_tpu.tokenizer.state import (
-    MergeConfig, MergeState, merge_batch, merge_pair,
+    MergeConfig, MergeState, merge_batch,
 )
 
 INF = jnp.inf

@@ -13,7 +13,7 @@ import bz2
 import re
 import unicodedata
 from collections import Counter
-from typing import IO, Iterable, List, Optional, Union
+from typing import IO, Iterable, List, Optional
 
 import jax
 import numpy as np

@@ -94,6 +94,20 @@ def test_kernel_matches_xla_bpe_mode():
     assert_equivalent(st_x, st_k)
 
 
+def test_kernel_matches_xla_multirow_queue():
+    """K > 128: queue selection spans sublane rows, exercising the
+    across-row (triangular-matmul) prefix-sum path."""
+    st, config = make_state(
+        use_dense_channel=False, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        alpha=0.1, beta=0.85, gamma=0.05, merge_batch=6, min_pair_freq=1,
+        queue_size=256, freq_table_size=1024)
+    assert enhanced_loop.supports(st, config)
+    st_x, st_k = run_both(st, config, chunks=3, n_steps=12)
+    assert int(st_x.base.num_merges) > 30
+    assert_equivalent(st_x, st_k)
+
+
 def test_kernel_matches_xla_all_features():
     """All features on: dense channel + frequency + coherence + compression
     + hierarchical phases + adaptive curvature events inside segments."""
