@@ -35,11 +35,16 @@ def measure_throughput(tokenize: Callable[[str], List[str]],
             n_tokens += len(tokenize(t))
         totals.append(time.perf_counter() - t0)
     avg = sum(totals) / len(totals)
+    var = sum((t - avg) ** 2 for t in totals) / len(totals)
     return {
         "tokens_per_sec": n_tokens / avg if avg > 0 else float("inf"),
         "chars_per_sec": n_chars / avg if avg > 0 else float("inf"),
         "total_tokens": n_tokens,
         "avg_seconds": avg,
+        # Per-run variance surfaced as the reference reports it
+        # (compare_tokenizers.py's 3-run protocol averages with spread).
+        "std_seconds": var ** 0.5,
+        "run_seconds": totals,
     }
 
 
