@@ -34,9 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hyptokenizer_tpu.ops.lorentz import (
-    ACOSH_EPS, EPS_NORM, EXP_ZERO_TOL, LOG_COEF_MAX,
-)
+from hyptokenizer_tpu.ops.lorentz import ACOSH_EPS, EPS_NORM, EXP_ZERO_TOL
 from hyptokenizer_tpu.ops.pallas.merge_loop import (
     _acosh, _get, _lane_iota, _pick_group, _set,
 )
@@ -102,27 +100,20 @@ def _in_sorted_u32(ref, key, size, n):
 
 
 def _midpoint(xi, xj, li, lj, lane, d1):
-    """Weighted tangent midpoint, formulas/constants = merge_loop.py kernel
-    (= ops/lorentz exp/log maps with the reference's clamps)."""
+    """Weighted geodesic midpoint — ops/lorentz.geodesic_point, the
+    cancellation-free evaluation of exp_map(xi, w * log_map(xi, xj))."""
     sig = jnp.where(lane == 0, 1.0, jnp.where(lane < d1, -1.0, 0.0))
     m_raw = jnp.sum(sig * xi * xj)
     m_c = jnp.maximum(m_raw, 1.0 + ACOSH_EPS)
-    denom_sq = m_c * m_c - 1.0
-    coef = jnp.where(denom_sq > 0,
-                     _acosh(m_c) / jnp.sqrt(jnp.maximum(denom_sq, EPS_NORM)),
-                     1.0)
-    coef = jnp.minimum(coef, LOG_COEF_MAX)
-    coef = jnp.where(jnp.isnan(coef), 1.0, coef)
+    d = _acosh(m_c)
     w = lj.astype(jnp.float32) / jnp.maximum(li + lj, 1).astype(jnp.float32)
-    v = (w * coef) * (xj - m_raw * xi)
-    v0 = jnp.sum(jnp.where(lane == 0, v, 0.0))
-    v_sq = jnp.sum(v * v) - 2.0 * v0 * v0
-    v_norm = jnp.sqrt(jnp.maximum(v_sq, EPS_NORM))
-    zmask = (v_norm < EXP_ZERO_TOL).astype(jnp.float32)
-    direction = v / (v_norm + zmask) * (1.0 - zmask)
-    ep = jnp.exp(v_norm)
-    en = jnp.exp(-v_norm)
-    return ((ep + en) * 0.5) * xi + ((ep - en) * 0.5) * direction
+    a = (1.0 - w) * d
+    b = w * d
+    num_x = jnp.exp(-b) * (1.0 - jnp.exp(-2.0 * a))
+    num_y = jnp.exp(-a) * (1.0 - jnp.exp(-2.0 * b))
+    den = jnp.maximum(1.0 - jnp.exp(-2.0 * d), EPS_NORM)
+    out = (num_x * xi + num_y * xj) / den
+    return jnp.where(d < EXP_ZERO_TOL, xi, out)
 
 
 def _project(x_new, lane, c):

@@ -42,9 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hyptokenizer_tpu.ops.lorentz import (
-    ACOSH_EPS, EPS_NORM, EXP_ZERO_TOL, LOG_COEF_MAX,
-)
+from hyptokenizer_tpu.ops.lorentz import ACOSH_EPS, EPS_NORM, EXP_ZERO_TOL
 
 INF = jnp.inf
 IMAX = 2**31 - 1  # python int: jnp scalars would be captured as constants
@@ -137,32 +135,20 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, hi_in, hj_in, md_in, si_in, sf_in,
             sig = jnp.where(lane == 0, 1.0,
                             jnp.where(lane < d1, -1.0, 0.0))  # metric+pad mask
 
-            # Tangent-space midpoint, formulas/constants = ops/lorentz.
+            # Weighted geodesic midpoint — ops/lorentz.geodesic_point, the
+            # cancellation-free evaluation of exp_map(xi, w * log_map(xi,
+            # xj)); see its docstring for the large-distance conditioning.
             m_raw = jnp.sum(sig * xi * xj)
             m_c = jnp.maximum(m_raw, 1.0 + ACOSH_EPS)
-            denom_sq = m_c * m_c - 1.0
-            coef = jnp.where(
-                denom_sq > 0,
-                _acosh(m_c) / jnp.sqrt(jnp.maximum(denom_sq, EPS_NORM)),
-                1.0)
-            coef = jnp.minimum(coef, LOG_COEF_MAX)
-            coef = jnp.where(jnp.isnan(coef), 1.0, coef)
+            dd = _acosh(m_c)
             w = lj.astype(jnp.float32) / (li + lj).astype(jnp.float32)
-            v = (w * coef) * (xj - m_raw * xi)             # (1, 128)
-            v0 = jnp.sum(jnp.where(lane == 0, v, 0.0))
-            v_sq = jnp.sum(v * v) - 2.0 * v0 * v0          # spatial^2 - v0^2
-            v_norm = jnp.sqrt(jnp.maximum(v_sq, EPS_NORM))
-            zmask = (v_norm < EXP_ZERO_TOL).astype(jnp.float32)
-            direction = v / (v_norm + zmask) * (1.0 - zmask)
-            # cosh/sinh via exp (Mosaic has no cosh/sinh/expm1 primitives).
-            # The sinh difference cancels for small v_norm, but its absolute
-            # error is <= ulp(1) ~ 1e-7 on a displacement of that same
-            # magnitude — below the fp32 noise already present in the
-            # reductions.
-            ep = jnp.exp(v_norm)
-            en = jnp.exp(-v_norm)
-            x_new = (((ep + en) * 0.5) * xi
-                     + ((ep - en) * 0.5) * direction)
+            a_ = (1.0 - w) * dd
+            b_ = w * dd
+            num_x = jnp.exp(-b_) * (1.0 - jnp.exp(-2.0 * a_))
+            num_y = jnp.exp(-a_) * (1.0 - jnp.exp(-2.0 * b_))
+            den = jnp.maximum(1.0 - jnp.exp(-2.0 * dd), EPS_NORM)
+            x_new = (num_x * xi + num_y * xj) / den
+            x_new = jnp.where(dd < EXP_ZERO_TOL, xi, x_new)
             # Re-projection: x0 = sqrt(1 + c * ||spatial||^2).
             x0n = jnp.sum(jnp.where(lane == 0, x_new, 0.0))
             sp_sq = jnp.sum(x_new * x_new) - x0n * x0n

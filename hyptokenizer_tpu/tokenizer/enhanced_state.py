@@ -243,8 +243,7 @@ def _coherence(emb, rows, cols, lengths, c, threshold, samples_idx):
     xj = emb[cols]
     w_j = (lengths[cols].astype(jnp.float32)
            / jnp.maximum(lengths[rows] + lengths[cols], 1).astype(jnp.float32))
-    v = L.log_map(xi, xj)
-    mid = L.exp_map(xi, w_j[:, None] * v)
+    mid = L.geodesic_point(xi, xj, w_j)
     samp_emb = emb[samples_idx]
     dmat = L.pairwise_dist(mid, samp_emb, c, eps=GRAD_EPS)
     not_self = ((samples_idx[None, :] != rows[:, None])

@@ -172,8 +172,9 @@ def midpoint_insert(emb: jax.Array, lengths: jax.Array, i: jax.Array,
     len_j = jax.lax.dynamic_index_in_dim(lengths, j, axis=0, keepdims=False)
     w_j = len_j.astype(jnp.float32) / (len_i + len_j).astype(jnp.float32)
 
-    v = L.log_map(xi, xj, c)
-    x_new = L.project_to_hyperboloid(L.exp_map(xi, w_j * v, c), c)
+    # geodesic_point == exp_map(xi, w_j * log_map(xi, xj)) exactly, in the
+    # cancellation-free evaluation (see its docstring).
+    x_new = L.project_to_hyperboloid(L.geodesic_point(xi, xj, w_j, c), c)
 
     emb = emb.at[new_idx].set(x_new)
     lengths = lengths.at[new_idx].set(len_i + len_j)
@@ -315,8 +316,7 @@ def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
     len_j = state.lengths[jj]
     w_j = len_j.astype(jnp.float32) / jnp.maximum(
         len_i + len_j, 1).astype(jnp.float32)
-    v = L.log_map(xi, xj, c)
-    x_new = L.project_to_hyperboloid(L.exp_map(xi, w_j[:, None] * v, c), c)
+    x_new = L.project_to_hyperboloid(L.geodesic_point(xi, xj, w_j, c), c)
 
     emb = state.emb.at[slot].set(x_new, mode="drop")
     lengths = state.lengths.at[slot].set(len_i + len_j, mode="drop")

@@ -131,3 +131,55 @@ def test_jit_compatible(points):
         np.asarray(jd(points, points)), np.asarray(L.pairwise_dist(points, points)),
         atol=1e-6,
     )
+
+
+def test_geodesic_point_equals_exp_log_composition():
+    """geodesic_point == exp_map(x, w*log_map(x, y)) in the well-conditioned
+    regime (the identity sinh((1-w)d)/sinh(d) = cosh(wd) - sinh(wd)coth(d)m
+    made cancellation-free)."""
+    key = jax.random.PRNGKey(5)
+    x = L.random_points(key, 64, 12, sigma=0.3)
+    y = L.random_points(jax.random.PRNGKey(6), 64, 12, sigma=0.3)
+    for w in (0.0, 0.25, 0.5, 1.0):
+        ref = L.exp_map(x, w * L.log_map(x, y))
+        got = L.geodesic_point(x, y, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_geodesic_point_stable_at_large_distance():
+    """At merge distance ~11 the exp/log composition loses ~all fp32
+    precision (y - cosh(d) x cancels catastrophically); geodesic_point must
+    stay accurate against a float64 oracle."""
+    rng = np.random.default_rng(0)
+    d1 = 101
+    # far-apart points (the regime the old formula corrupted)
+    sp = rng.normal(0, 3.0, (16, d1 - 1))
+    x64 = np.concatenate(
+        [np.sqrt(1 + (sp ** 2).sum(-1, keepdims=True)), sp], -1)
+    sp2 = rng.normal(0, 3.0, (16, d1 - 1))
+    y64 = np.concatenate(
+        [np.sqrt(1 + (sp2 ** 2).sum(-1, keepdims=True)), sp2], -1)
+
+    def oracle(x, y, w):  # float64 geodesic
+        m = x[:, 0] * y[:, 0] - (x[:, 1:] * y[:, 1:]).sum(-1)
+        d = np.arccosh(np.maximum(m, 1 + 1e-12))
+        num_x = np.sinh((1 - w) * d) / np.sinh(d)
+        num_y = np.sinh(w * d) / np.sinh(d)
+        return num_x[:, None] * x + num_y[:, None] * y
+
+    ref = oracle(x64, y64, 0.5)
+    d_check = np.arccosh(x64[:, 0] * y64[:, 0]
+                         - (x64[:, 1:] * y64[:, 1:]).sum(-1))
+    assert d_check.mean() > 7  # genuinely the ill-conditioned regime
+    got = np.asarray(L.geodesic_point(jnp.asarray(x64, jnp.float32),
+                                      jnp.asarray(y64, jnp.float32), 0.5))
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-3)
+    assert rel.max() < 1e-3, rel.max()
+    # Sanity: midpoint is equidistant in the w=0.5 case.
+    mid = np.asarray(L.project_to_hyperboloid(
+        L.geodesic_point(jnp.asarray(x64, jnp.float32),
+                         jnp.asarray(y64, jnp.float32), 0.5)))
+    da = np.asarray(L.distance(jnp.asarray(mid), jnp.asarray(x64, jnp.float32)))
+    db = np.asarray(L.distance(jnp.asarray(mid), jnp.asarray(y64, jnp.float32)))
+    np.testing.assert_allclose(da, db, rtol=1e-3)
