@@ -185,26 +185,41 @@ def kernel_selfcheck():
 
 
 def main():
-    lines = load_corpus()
-    enh = bench_enhanced(lines)
-    result = {
-        "metric": "enhanced_merges_per_sec",
-        "value": round(enh["rate"], 2),
-        "unit": "merges/s",
-        "vs_baseline": round(enh["rate"] / REF_BASELINE_STEPS_PER_SEC, 2),
-    }
-    print(json.dumps(result))
-    print(f"# enhanced: merges={enh['merges']} vocab={enh['vocab']} "
-          f"ctor={enh['t_init']:.2f}s first_chunk={enh['first_chunk']}s "
-          f"train={enh['t_train']:.2f}s "
-          f"corpus_Bps_chip={enh['corpus_bytes_per_sec_per_chip']}",
-          file=sys.stderr)
+    enh = None
     try:
+        lines = load_corpus()
+        enh = bench_enhanced(lines)
+        result = {
+            "metric": "enhanced_merges_per_sec",
+            "value": round(enh["rate"], 2),
+            "unit": "merges/s",
+            "vs_baseline": round(enh["rate"] / REF_BASELINE_STEPS_PER_SEC, 2),
+        }
+    except Exception as e:
+        # Tunnel weather can kill a long run; a distance-only headline beats
+        # no headline (the driver records the first JSON line).
+        print(f"# enhanced headline failed ({e}); falling back",
+              file=sys.stderr)
         dist_rate, trials = bench_distance_only()
-        print(f"# distance_only_steps_per_sec={dist_rate:.1f} "
-              f"trials={[round(t, 1) for t in trials]}", file=sys.stderr)
-    except Exception as e:  # secondary: never break the headline
-        print(f"# distance_only failed: {e}", file=sys.stderr)
+        result = {
+            "metric": "merge_steps_per_sec",
+            "value": round(dist_rate, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(dist_rate / REF_BASELINE_STEPS_PER_SEC, 2),
+        }
+    print(json.dumps(result))
+    if enh is not None:
+        print(f"# enhanced: merges={enh['merges']} vocab={enh['vocab']} "
+              f"ctor={enh['t_init']:.2f}s first_chunk={enh['first_chunk']}s "
+              f"train={enh['t_train']:.2f}s "
+              f"corpus_Bps_chip={enh['corpus_bytes_per_sec_per_chip']}",
+              file=sys.stderr)
+        try:
+            dist_rate, trials = bench_distance_only()
+            print(f"# distance_only_steps_per_sec={dist_rate:.1f} "
+                  f"trials={[round(t, 1) for t in trials]}", file=sys.stderr)
+        except Exception as e:  # secondary: never break the headline
+            print(f"# distance_only failed: {e}", file=sys.stderr)
     try:
         print(f"# {json.dumps(kernel_selfcheck())}", file=sys.stderr)
     except Exception as e:
