@@ -23,6 +23,13 @@ Matches the reference flagship loop enhanced_fast_hyperbolic_merge.py
 :1015-1209. Numerics caveat as merge_loop.py: lane-tree reductions vs the XLA
 path's matmul reductions agree to fp32 noise; merge sequences can differ only
 on exact score/distance ties.
+
+Corpus-only (bpe) mode skips best_dist/best_j maintenance entirely — the
+dense channel never reads them, and skipping the per-batch O(V d) fold is
+most of this kernel's speed advantage in that mode. The XLA path still folds
+(merge_batch is shared with the dense loop), so those two arrays are STALE
+after a fused bpe-mode run; nothing on any path reads them in that
+configuration (core.load rebuilds candidates with a full re-scan anyway).
 """
 
 from __future__ import annotations

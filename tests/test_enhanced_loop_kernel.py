@@ -169,3 +169,17 @@ def test_kernel_queue_exhaustion_resync():
     st_x, st_k = run_both(st, config, chunks=6, n_steps=24)
     assert int(st_x.base.num_merges) > 40
     assert_equivalent(st_x, st_k)
+
+
+def test_kernel_capacity_cap_mid_batch():
+    """max_vocab_size reached inside a merge batch: both backends truncate
+    the batch at capacity, stop, and agree on the final state."""
+    st, config = make_state(
+        use_dense_channel=False, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        alpha=0.1, beta=0.85, gamma=0.05, merge_batch=8, min_pair_freq=1,
+        max_vocab_size=42)  # 38 initial tokens + 4 slots < one batch
+    st_x, st_k = run_both(st, config, chunks=2, n_steps=16)
+    assert bool(st_x.base.stopped) and bool(st_k.base.stopped)
+    assert int(st_x.base.vocab_size) == int(st_k.base.vocab_size) == 42
+    assert_equivalent(st_x, st_k)
