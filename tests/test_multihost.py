@@ -83,3 +83,46 @@ def test_two_process_merge_sequences_match_single_process(tmp_path):
         single = json.load(f)
     assert single["merges"] == results[0]["merges"]
     assert single["enhanced_merges"] == results[0]["enhanced_merges"]
+
+
+def test_bench_scaling_multihost_two_process(tmp_path):
+    """cli.bench_scaling --multihost over 2 processes prints per-host lines
+    and a JSON summary from each process (VERDICT r1 #3 'per-host numbers')."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": _REPO,
+    })
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "hyptokenizer_tpu.cli.bench_scaling",
+             "--multihost", "--coordinator-address", coord,
+             "--num-processes", "2", "--process-id", str(pid),
+             "--n-init", "64", "--embedding-dim", "8",
+             "--max-vocab-size", "256", "--steps", "16", "--warmup", "4"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    for pid, out in enumerate(outs):
+        assert f"host {pid}/2" in out, out[-2000:]
+        assert "4 global devices" in out, out[-2000:]
+        last = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        rec = json.loads(last)
+        assert rec["n_processes"] == 2 and rec["process"] == pid
+        assert rec["steps_per_sec_by_devices"]["4"] > 0 or \
+            rec["steps_per_sec_by_devices"].get(4, 0) > 0
