@@ -55,6 +55,13 @@ def main(argv=None):
                    help="encode-time merge order: fixpoint = the reference's "
                         "multi-pass first-match scan; priority = classic BPE "
                         "rank order (reproduces the training trajectory)")
+    p.add_argument("--freq-table-size", type=int, default=1 << 17,
+                   help="pair-frequency snapshot slots (raise for large "
+                        "corpora; overflow drops lowest-count pairs with a "
+                        "warning). Multiple of 128 keeps the fused kernel "
+                        "eligible")
+    p.add_argument("--queue-size", type=int, default=4096,
+                   help="sparse-candidate queue length per phase")
     p.add_argument("--pre-split", choices=["none", "whitespace", "words"],
                    default="none",
                    help="lossless regex pre-split: merges never cross "
@@ -101,6 +108,8 @@ def main(argv=None):
         merge_batch=args.merge_batch,
         min_pair_freq=args.min_pair_freq,
         use_dense_channel=args.use_dense_channel,
+        freq_table_size=args.freq_table_size,
+        queue_size=args.queue_size,
         seed=args.seed,
         mesh=mesh,
     )
