@@ -681,6 +681,18 @@ sync_corpus_jit = jax.jit(sync_corpus, static_argnames=("config",))
 curvature_update_jit = jax.jit(_maybe_update_curvature,
                                static_argnames=("config",))
 
+_FUSED_DISABLED = False
+
+
+def _disable_fused() -> None:
+    global _FUSED_DISABLED
+    _FUSED_DISABLED = True
+    import logging
+    import traceback
+    logging.getLogger(__name__).warning(
+        "fused enhanced kernel failed to compile; falling back to the XLA "
+        "while-loop for this process:\n%s", traceback.format_exc())
+
 
 def run_enhanced(st: EnhancedState, config: EnhancedConfig,
                  n_steps: int) -> EnhancedState:
@@ -698,8 +710,18 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
     use_pallas = config.base.use_pallas
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas:
+    if use_pallas and not _FUSED_DISABLED:
         from hyptokenizer_tpu.ops.pallas import enhanced_loop
         if enhanced_loop.supports(st, config):
-            return enhanced_loop.run_enhanced_fused(st, config, n_steps)
+            try:
+                return enhanced_loop.run_enhanced_fused(st, config, n_steps)
+            except Exception:
+                # A kernel COMPILE failure (env/toolchain) downgrades to the
+                # XLA path for the process; mid-run state is unharmed (the
+                # fused path mutates nothing before its first kernel
+                # returns, and segments are functional). Runtime data errors
+                # would raise identically under XLA, so only the first
+                # failure is swallowed — and loudly.
+                _disable_fused()
+        return _run_enhanced_xla(st, config, n_steps)
     return _run_enhanced_xla(st, config, n_steps)
