@@ -27,10 +27,12 @@ def plot_training_curves(stats: List[Dict], out_path: str):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
     # Per-step records only (artifacts from older runs appended a summary
     # dict without a 'step' key to training_stats).
     stats = [s for s in stats if "step" in s]
+    has_dist = any("mean_dist" in s for s in stats)
+    n_panels = 4 if has_dist else 3
+    fig, axes = plt.subplots(1, n_panels, figsize=(5 * n_panels, 4))
     steps = [s["step"] for s in stats]
     axes[0].plot(steps, [s["vocab_size"] for s in stats])
     axes[0].set_title("vocab size")
@@ -39,6 +41,15 @@ def plot_training_curves(stats: List[Dict], out_path: str):
     axes[1].set_title("merge threshold")
     axes[2].plot(steps, [s.get("steps_per_sec", 0) for s in stats])
     axes[2].set_title("merge steps/sec")
+    if has_dist:
+        # Sampled distance statistics (reference logs these per chunk,
+        # fast_hyperbolic_merge.py:513-527).
+        for key, label in (("min_dist", "min"), ("mean_dist", "mean"),
+                           ("max_dist", "max")):
+            axes[3].plot(steps, [s.get(key, float("nan")) for s in stats],
+                         label=label)
+        axes[3].set_title("sampled pair distances")
+        axes[3].legend()
     for ax in axes:
         ax.set_xlabel("step")
     fig.tight_layout()
