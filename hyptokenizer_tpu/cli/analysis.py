@@ -183,6 +183,82 @@ def plot_perplexity_vs_distortion(results_dir: str, methods: List[str],
     return n_points
 
 
+def plot_downstream_bars(results_dir: str, methods: List[str],
+                         vocab_sizes: List[int], out_path: str) -> int:
+    """Bar charts of MLM perplexity / classification accuracy per method
+    (reference notebooks/analysis.py:208-298), from
+    ``{results_dir}/{method}/v{V}/nlp_results.json``."""
+    import json
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rows = []
+    for method in methods:
+        for v in vocab_sizes:
+            path = os.path.join(results_dir, method, f"v{v}",
+                                "nlp_results.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                r = json.load(f)
+            ppl = r.get("mlm_val_perplexity", r.get("mlm_perplexity"))
+            rows.append((f"{method}\nv{v // 1000}K", ppl,
+                         r.get("classification_accuracy")))
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    labels = [r[0] for r in rows]
+    ppls = [r[1] for r in rows]
+    accs = [r[2] for r in rows]
+    if any(p is not None for p in ppls):
+        axes[0].bar(labels, [p or 0 for p in ppls])
+        axes[0].set_title("MLM perplexity")
+    if any(a is not None for a in accs):
+        axes[1].bar(labels, [a or 0 for a in accs])
+        axes[1].set_title("classification accuracy")
+    for ax in axes:
+        ax.tick_params(axis="x", rotation=30)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return len(rows)
+
+
+def plot_efficiency_bars(results_dir: str, methods: List[str],
+                         vocab_sizes: List[int], out_path: str) -> int:
+    """Throughput + training-time bars (reference notebooks/analysis.py
+    :338-429) from ``{results_dir}/{method}/v{V}/efficiency.json``
+    (cli/benchmark_efficiency.py --output-path)."""
+    import json
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rows = []
+    for method in methods:
+        for v in vocab_sizes:
+            path = os.path.join(results_dir, method, f"v{v}",
+                                "efficiency.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                r = json.load(f)
+            tput = r.get("tokenize", {}).get("tokens_per_sec")
+            train_s = (r.get("training_summary") or {}).get("train_seconds")
+            rows.append((f"{method}\nv{v // 1000}K", tput, train_s))
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4))
+    labels = [r[0] for r in rows]
+    if any(r[1] is not None for r in rows):
+        axes[0].bar(labels, [r[1] or 0 for r in rows])
+        axes[0].set_title("tokenization throughput (tokens/s)")
+    if any(r[2] is not None for r in rows):
+        axes[1].bar(labels, [(r[2] or 0) / 3600 for r in rows])
+        axes[1].set_title("training time (hours)")
+    for ax in axes:
+        ax.tick_params(axis="x", rotation=30)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return len(rows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tokenizer-dir", type=str, default=None)
@@ -216,6 +292,14 @@ def main(argv=None):
             args.results_dir, methods, sizes,
             os.path.join(args.output_dir, "perplexity_vs_distortion.png"))
         print(f"wrote perplexity_vs_distortion.png ({n} grid points)")
+        n = plot_downstream_bars(
+            args.results_dir, methods, sizes,
+            os.path.join(args.output_dir, "downstream_metrics.png"))
+        print(f"wrote downstream_metrics.png ({n} grid points)")
+        n = plot_efficiency_bars(
+            args.results_dir, methods, sizes,
+            os.path.join(args.output_dir, "efficiency.png"))
+        print(f"wrote efficiency.png ({n} grid points)")
 
     if args.tokenizer_dir:
         stats_path = os.path.join(args.tokenizer_dir, "training_stats.json")

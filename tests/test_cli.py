@@ -259,3 +259,13 @@ def test_analysis_grid_plots(tmp_path):
     n = analysis.plot_perplexity_vs_distortion(
         str(grid), ["hyperbolic"], [1000, 2000, 4000], str(out / "p2.png"))
     assert n == 2
+    # Downstream + efficiency bars from the same grid layout.
+    (grid / "hyperbolic" / "v1000" / "efficiency.json").write_text(
+        json.dumps({"tokenize": {"tokens_per_sec": 5e5},
+                    "training_summary": {"train_seconds": 120.0}}))
+    n = analysis.plot_downstream_bars(
+        str(grid), ["hyperbolic", "bpe"], [1000, 2000], str(out / "d3.png"))
+    assert n == 4 and os.path.exists(out / "d3.png")
+    n = analysis.plot_efficiency_bars(
+        str(grid), ["hyperbolic"], [1000], str(out / "e1.png"))
+    assert n == 1 and os.path.exists(out / "e1.png")
