@@ -98,6 +98,14 @@ def compute_distortion(graph, embeddings, node_mapping: Dict[str, int],
         "std": float(np.std(ratios)),
         "num_pairs": int(len(ratios)),
     }
+    # Correlation between graph and embedding distances. The ratio above (the
+    # reference's metric) is scale-degenerate: shrinking all embeddings
+    # toward the origin drives it to 0 without any hierarchy signal; the
+    # rank correlation is scale-free and measures actual alignment.
+    if len(ratios) >= 3 and np.std(emb_d) > 0 and np.std(graph_d) > 0:
+        from scipy import stats as sps
+        stats["pearson_r"] = float(np.corrcoef(graph_d, emb_d)[0, 1])
+        stats["spearman_r"] = float(sps.spearmanr(graph_d, emb_d).statistic)
     return ratios, stats
 
 
