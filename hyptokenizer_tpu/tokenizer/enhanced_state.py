@@ -207,11 +207,6 @@ class EnhancedState:
     curv_last: jax.Array           # i32 — num_merges at last curvature update
 
 
-def phase_threshold(config: EnhancedConfig, phase: jax.Array) -> jax.Array:
-    t = jnp.asarray(config.phase_thresholds, jnp.float32)
-    return t[jnp.clip(phase - 1, 0, 2)]
-
-
 @functools.partial(jax.jit,
                    static_argnames=("max_v", "table_size", "queue_size",
                                     "coh_samples"))
