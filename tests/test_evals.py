@@ -41,6 +41,10 @@ def test_compute_distortion():
     assert stats["num_pairs"] == 50
     assert stats["min"] > 0
     assert stats["mean"] == pytest.approx(float(np.mean(ratios)))
+    # Scale-free correlations are reported alongside the (scale-degenerate)
+    # ratio metric.
+    assert -1.0 <= stats["spearman_r"] <= 1.0
+    assert -1.0 <= stats["pearson_r"] <= 1.0
 
 
 def test_distortion_on_reference_wordnet_graph():
