@@ -29,6 +29,9 @@ def main(argv=None):
                    help="held-out text for MLM perplexity")
     p.add_argument("--train-cls", type=str, default=None,
                    help="label<TAB>text file for classification")
+    p.add_argument("--val-cls", type=str, default=None,
+                   help="held-out label<TAB>text file; reported accuracy "
+                        "becomes held-out accuracy")
     p.add_argument("--output-dir", type=str, required=True)
     p.add_argument("--max-length", type=int, default=128)
     p.add_argument("--hidden-size", type=int, default=256)
@@ -88,26 +91,40 @@ def main(argv=None):
               f"{ppl:.2f}")
 
     if args.task in ("classification", "both") and args.train_cls:
-        texts, labels = [], []
-        with open(args.train_cls, encoding="utf-8") as f:
-            for line in f:
-                lab, _, text = line.rstrip("\n").partition("\t")
-                if text:
-                    labels.append(int(lab))
-                    texts.append(text)
-                if len(texts) >= args.max_lines:
-                    break
+        def read_tsv(path, cap):
+            ts, ys = [], []
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    lab, _, text = line.rstrip("\n").partition("\t")
+                    if text:
+                        ys.append(int(lab))
+                        ts.append(text)
+                    if len(ts) >= cap:
+                        break
+            return ts, ys
+
+        texts, labels = read_tsv(args.train_cls, args.max_lines)
         encoded = adapter.batch_encode(texts, max_length=args.max_length)
+        eval_encoded = eval_labels = None
+        n_labels = max(labels) + 1
+        if args.val_cls:
+            vtexts, eval_labels = read_tsv(args.val_cls, args.max_lines)
+            eval_encoded = adapter.batch_encode(vtexts,
+                                                max_length=args.max_length)
+            n_labels = max(n_labels, max(eval_labels) + 1)
         model = nlp.build_bert_classifier(
-            vocab_size, num_labels=max(labels) + 1, hidden=args.hidden_size,
+            vocab_size, num_labels=n_labels, hidden=args.hidden_size,
             layers=args.num_layers, heads=args.num_heads, seed=args.seed,
             embeddings=emb)
         _, acc = nlp.classification_train(
             model, encoded, labels, epochs=args.epochs,
             batch_size=args.batch_size, max_length=args.max_length,
-            lr=args.lr, seed=args.seed)
-        results["classification_accuracy"] = acc
-        print(f"classification accuracy: {acc:.3f}")
+            lr=args.lr, seed=args.seed,
+            eval_encoded=eval_encoded, eval_labels=eval_labels)
+        key = ("classification_val_accuracy" if args.val_cls
+               else "classification_accuracy")
+        results[key] = acc
+        print(f"classification accuracy ({'val' if args.val_cls else 'train'}): {acc:.3f}")
 
     with open(os.path.join(args.output_dir, "nlp_results.json"), "w") as f:
         json.dump(results, f, indent=2)

@@ -262,8 +262,15 @@ def mlm_train(model, encoded: Dict, *, epochs: int = 1, batch_size: int = 16,
 def classification_train(model, encoded: Dict, labels: List[int], *,
                          epochs: int = 1, batch_size: int = 16,
                          max_length: int = 128, lr: float = 5e-4,
-                         seed: int = 0, log=print):
-    """Sequence-classification loop; returns (params, train_accuracy)."""
+                         seed: int = 0, log=print,
+                         eval_encoded: Optional[Dict] = None,
+                         eval_labels: Optional[List[int]] = None):
+    """Sequence-classification loop; returns (params, accuracy).
+
+    The returned accuracy is held-out accuracy when ``eval_encoded``/
+    ``eval_labels`` are given, else the running train accuracy (the
+    reference's Trainer reports eval metrics when an eval set exists,
+    train_nlp_tasks.py:213-351)."""
     import optax
     tx = optax.adamw(lr)
     params = model.params
@@ -302,4 +309,29 @@ def classification_train(model, encoded: Dict, labels: List[int], *,
                 jnp.asarray(labels_arr[idx]))
             accs.append(float(acc))
         log(f"epoch {epoch}: cls loss {float(loss):.4f} acc {np.mean(accs[-20:]):.3f}")
-    return params, float(np.mean(accs[-20:])) if accs else 0.0
+    train_acc = float(np.mean(accs[-20:])) if accs else 0.0
+    if eval_encoded is None or eval_labels is None:
+        return params, train_acc
+
+    @jax.jit
+    def logits_fn(params, ids, mask):
+        return model(input_ids=ids, attention_mask=mask, params=params,
+                     train=False).logits
+
+    m = len(eval_encoded["input_ids"])
+    correct = 0
+    for start in range(0, m, batch_size):
+        idx = list(range(start, min(start + batch_size, m)))
+        ids = np.zeros((batch_size, max_length), np.int32)
+        mask = np.zeros((batch_size, max_length), np.int32)
+        for r, k in enumerate(idx):
+            seq = eval_encoded["input_ids"][k][:max_length]
+            ids[r, :len(seq)] = seq
+            mask[r, :len(seq)] = 1
+        pred = np.asarray(jnp.argmax(
+            logits_fn(params, jnp.asarray(ids), jnp.asarray(mask)), -1))
+        for r, k in enumerate(idx):
+            correct += int(pred[r] == eval_labels[k])
+    val_acc = correct / max(m, 1)
+    log(f"val accuracy: {val_acc:.3f} (train {train_acc:.3f})")
+    return params, val_acc
