@@ -183,3 +183,20 @@ def test_kernel_capacity_cap_mid_batch():
     assert bool(st_x.base.stopped) and bool(st_k.base.stopped)
     assert int(st_x.base.vocab_size) == int(st_k.base.vocab_size) == 42
     assert_equivalent(st_x, st_k)
+
+
+def test_kernel_matches_xla_strict_greedy_batch1():
+    """merge_batch=1 (strict greedy scored selection): the nb=1 unroll edges
+    (t==0 and t==nb collapse onto the same sparse slot) must stay exact.
+    Corpus-grounded scoring (the dense geometric channel chain-collapses to
+    exact-tie distances at the acosh floor, where backend divergence is the
+    documented tie caveat)."""
+    st, config = make_state(
+        use_dense_channel=False, use_hierarchical=True,
+        use_adaptive_curvature=False, use_compression_aware=True,
+        merge_batch=1, merge_threshold=0.5)
+    config = config.replace(phase2_step=5, phase3_step=12)
+    assert enhanced_loop.supports(st, config)
+    st_x, st_k = run_both(st, config, chunks=2, n_steps=10)
+    assert int(st_x.base.num_merges) > 8
+    assert_equivalent(st_x, st_k)
