@@ -131,57 +131,9 @@ def bench_distance_only():
 
 
 def kernel_selfcheck():
-    """On-chip XLA-vs-Pallas merge-sequence equivalence (non-interpret)."""
-    import numpy as np
-    from hyptokenizer_tpu.ops import lorentz as L
-    from hyptokenizer_tpu.tokenizer import MergeConfig, init_state, run_merges
-
-    if jax.devices()[0].platform != "tpu":
-        return {"kernel_selfcheck": "skipped (no TPU)"}
-    key = jax.random.PRNGKey(7)
-    emb0 = L.random_points(key, 512, 100, sigma=0.5)
-    lengths0 = jnp.ones((512,), jnp.int32)
-    seqs = {}
-    for use_pallas in (True, False):
-        config = MergeConfig(max_vocab_size=1024, search_block=256,
-                             use_pallas=use_pallas)
-        st = init_state(emb0, lengths0, curvature=1.0, threshold=5.0,
-                        config=config)
-        st = run_merges(st, config, 256)
-        n = int(st.num_merges)
-        seqs[use_pallas] = np.asarray(st.merges[:n]).tolist()
-    match = seqs[True] == seqs[False]
-    out = {"kernel_selfcheck": "pass" if match else "FAIL",
-           "kernel_selfcheck_merges": len(seqs[True])}
-
-    # Enhanced (scored) loop: fused segment kernel vs XLA while-loop.
-    from hyptokenizer_tpu.ops.pallas import enhanced_loop
-    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
-    from hyptokenizer_tpu.tokenizer import enhanced_state as E
-
-    corpus = ["the cat sat on the mat", "the dog sat on the log",
-              "a cat and a dog and a rat"] * 10
-    chars = sorted({c for l in corpus for c in l})
-    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + chars
-    emb = L.random_points(jax.random.PRNGKey(1), len(vocab), 16, sigma=0.6)
-    tok = EnhancedHyperbolicTokenizer(
-        vocab, emb, merge_threshold=5.0, max_vocab_size=256,
-        corpus_sample=corpus, corpus_max_tokens=1024, merge_batch=4,
-        search_block=64, freq_table_size=1024, queue_size=128, seed=0,
-        use_dense_channel=False, use_hierarchical=False,
-        use_adaptive_curvature=False, use_compression_aware=False,
-        alpha=0.1, beta=0.85, gamma=0.05)
-    st_k = jax.tree.map(jnp.array, tok.enh_state)
-    st_x = jax.tree.map(jnp.array, tok.enh_state)
-    st_k = enhanced_loop.run_enhanced_fused(st_k, tok.enh_config, 20,
-                                            segment_grid=64)
-    st_x = E._run_enhanced_xla(st_x, tok.enh_config, 20)
-    nx, nk = int(st_x.base.num_merges), int(st_k.base.num_merges)
-    same = nx == nk and np.array_equal(np.asarray(st_x.base.merges[:nx]),
-                                       np.asarray(st_k.base.merges[:nk]))
-    out["enhanced_kernel_selfcheck"] = "pass" if same else "FAIL"
-    out["enhanced_kernel_selfcheck_merges"] = nk
-    return out
+    """On-chip XLA-vs-Pallas merge-sequence equivalence (both kernels)."""
+    from hyptokenizer_tpu.evals.selfcheck import kernel_selfcheck as check
+    return check()
 
 
 def main():

@@ -5,6 +5,7 @@ TPU-native parity with ``scripts/test_mps.py`` (which smoke-tests Apple MPS).
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import jax
@@ -13,6 +14,11 @@ import numpy as np
 
 
 def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kernel-check", action="store_true",
+                   help="also run the XLA-vs-Pallas merge-sequence "
+                        "equivalence for both fused kernels on this device")
+    args = p.parse_args(argv)
     print(f"backend: {jax.default_backend()}")
     print(f"devices: {jax.devices()}")
 
@@ -32,6 +38,11 @@ def main(argv=None):
     ok = np.allclose(md, 1.0, atol=1e-5)
     print(f"minkowski <x,x>=1 on manifold: {'OK' if ok else 'FAIL'} "
           f"(max err {np.abs(md - 1).max():.2e})")
+
+    if args.kernel_check:
+        from hyptokenizer_tpu.evals.selfcheck import kernel_selfcheck
+        import json
+        print(json.dumps(kernel_selfcheck()))
 
 
 if __name__ == "__main__":
