@@ -145,6 +145,11 @@ def test_geodesic_point_equals_exp_log_composition():
         got = L.geodesic_point(x, y, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5)
+    # Vector weights (merge_batch passes one w per row).
+    wv = jax.random.uniform(jax.random.PRNGKey(7), (64,))
+    ref = L.exp_map(x, wv[:, None] * L.log_map(x, y))
+    got = L.geodesic_point(x, y, wv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
 def test_geodesic_point_stable_at_large_distance():
