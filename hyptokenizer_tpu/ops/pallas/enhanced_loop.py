@@ -63,25 +63,31 @@ SF = dict(thr=0, c=1, maxcnt=2)
 NSF = 3
 
 
-def _u32_get(ref, idx, base_row=0):
+def _get_at(ref, idx, base_row=0):
     """Scalar read of flat element ``idx`` from (base_row +) a lane-major
-    (N, 128) region of ``ref``."""
+    (N, 128) region of ``ref``.
+
+    Sum-extraction over the masked row (exactly one lane survives), NOT a
+    max: this must stay legal for int32 refs — Mosaic lowers no unsigned
+    reductions at all, which is why every key/hash table in this kernel is
+    int32 (KERNELS.md; VERDICT r2 #1).
+    """
     row = ref[pl.ds(base_row + idx // LANES, 1), :]
-    return jnp.max(jnp.where(_lane_iota() == idx % LANES, row,
+    return jnp.sum(jnp.where(_lane_iota() == idx % LANES, row,
                              jnp.zeros_like(row)))
 
 
 def _searchsorted2(hi_ref, lo_ref, qh, ql, n):
     """Lexicographic searchsorted of ONE (qh, ql) key over two (N/128, 128)
-    lane-major sorted refs; scalar binary search, log2(n) rounds."""
+    lane-major sorted int32 refs; scalar binary search, log2(n) rounds."""
     lo = jnp.int32(0)
     hi = jnp.int32(n)
 
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
-        mh = _u32_get(hi_ref, mid)
-        ml = _u32_get(lo_ref, mid)
+        mh = _get_at(hi_ref, mid)
+        ml = _get_at(lo_ref, mid)
         lt = (mh < qh) | ((mh == qh) & (ml < ql))
         return jnp.where(lt, mid + 1, lo), jnp.where(lt, hi, mid)
 
@@ -89,21 +95,21 @@ def _searchsorted2(hi_ref, lo_ref, qh, ql, n):
     return lo
 
 
-def _in_sorted_u32(ref, key, size, n):
-    """Membership of one uint32 key in a sorted (N/128, 128) padded table."""
+def _in_sorted_i32(ref, key, size, n):
+    """Membership of one int32 key in a sorted (N/128, 128) padded table."""
     lo = jnp.int32(0)
     hi = jnp.int32(n)
 
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
-        mv = _u32_get(ref, mid)
+        mv = _get_at(ref, mid)
         lt = mv < key
         return jnp.where(lt, mid + 1, lo), jnp.where(lt, hi, mid)
 
     lo, _ = jax.lax.fori_loop(0, max(int(n), 1).bit_length(), body, (lo, hi))
     pos = jnp.minimum(lo, n - 1)
-    return (_u32_get(ref, pos) == key) & (lo < size)
+    return (_get_at(ref, pos) == key) & (lo < size)
 
 
 def _midpoint(xi, xj, li, lj, lane, d1):
@@ -130,13 +136,18 @@ def _project(x_new, lane, c):
 
 
 def _compose_hash_scalar(h1, h2, bl, ci, cj, powers, rows_per):
-    """hash(a+b) lanes for a candidate pair, scalar (scoring.compose_hash)."""
+    """hash(a+b) lanes for a candidate pair, scalar (scoring.compose_hash).
+
+    int32 modular arithmetic: residues and powers are < 2^15 (15-bit hash
+    primes), so products stay < 2^30 — exact in int32, and Mosaic lowers
+    int32 multiply/remainder fine (probed on-chip; KERNELS.md).
+    """
     blj = _get(bl, cj)
     pw_idx = jnp.minimum(blj, rows_per * LANES - 1)
-    pw1 = _u32_get(powers, pw_idx, base_row=0)
-    pw2 = _u32_get(powers, pw_idx, base_row=rows_per)
-    nh1 = (_u32_get(h1, ci) * pw1 + _u32_get(h1, cj)) % jnp.uint32(HASH_P1)
-    nh2 = (_u32_get(h2, ci) * pw2 + _u32_get(h2, cj)) % jnp.uint32(HASH_P2)
+    pw1 = _get_at(powers, pw_idx, base_row=0)
+    pw2 = _get_at(powers, pw_idx, base_row=rows_per)
+    nh1 = (_get_at(h1, ci) * pw1 + _get_at(h1, cj)) % jnp.int32(HASH_P1)
+    nh2 = (_get_at(h2, ci) * pw2 + _get_at(h2, cj)) % jnp.int32(HASH_P2)
     return nh1, nh2
 
 
@@ -222,11 +233,10 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
             dense_score = alpha * (1.0 / (1.0 + dd))
             dfreq = jnp.float32(0.0)
             if cfg["use_freq"] or cfg["use_comp"]:
-                pos = _searchsorted2(pkh, pkl, di.astype(jnp.uint32),
-                                     dj.astype(jnp.uint32), table_size)
+                pos = _searchsorted2(pkh, pkl, di, dj, table_size)
                 posc = jnp.minimum(pos, table_size - 1)
-                hit = ((_u32_get(pkh, posc) == di.astype(jnp.uint32))
-                       & (_u32_get(pkl, posc) == dj.astype(jnp.uint32)))
+                hit = ((_get_at(pkh, posc) == di)
+                       & (_get_at(pkl, posc) == dj))
                 dfreq = jnp.where(
                     hit,
                     jnp.asarray(_get(pcnt, posc), jnp.float32), 0.0)
@@ -270,13 +280,13 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
             if cfg["use_hier"]:
                 nh1, nh2 = _compose_hash_scalar(h1, h2, bl, di, dj,
                                                 powers, pw_rows)
-                mkey = nh1 * jnp.uint32(65536) + nh2
-                is_morph = _in_sorted_u32(morph, mkey,
+                mkey = nh1 * jnp.int32(65536) + nh2
+                is_morph = _in_sorted_i32(morph, mkey,
                                           si[SI["morph_size"], 0],
                                           morph_rows * LANES)
                 vw_or = (_get(vw, di) + _get(vw, dj)) > 0
                 mlen = li + lj
-                is_word = _in_sorted_u32(word, mkey, si[SI["word_size"], 0],
+                is_word = _in_sorted_i32(word, mkey, si[SI["word_size"], 0],
                                          word_rows * LANES) \
                     | ((mlen >= 3) & vw_or)
                 p1s = jnp.where((li <= 2) & (lj <= 2), 0.8, 0.2)
@@ -616,8 +626,8 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
     pkl = st.pair_keys[:, 1].reshape(t_rows, LANES)
     pcnt = st.pair_counts.reshape(t_rows, LANES)
 
-    morph = _pad_table(st.morph_table, jnp.uint32(0xFFFFFFFF))
-    word = _pad_table(st.word_table, jnp.uint32(0xFFFFFFFF))
+    morph = _pad_table(st.morph_table, jnp.int32(IMAX))
+    word = _pad_table(st.word_table, jnp.int32(IMAX))
     pw_rows = st.hash_powers.shape[1] // LANES
     powers = st.hash_powers.reshape(2 * pw_rows, LANES)
 
@@ -670,8 +680,8 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
         jax.ShapeDtypeStruct(n2, jnp.int32),                 # ln
         jax.ShapeDtypeStruct(n2, jnp.int32),                 # bl
         jax.ShapeDtypeStruct(n2, jnp.int32),                 # vw
-        jax.ShapeDtypeStruct(n2, jnp.uint32),                # h1
-        jax.ShapeDtypeStruct(n2, jnp.uint32),                # h2
+        jax.ShapeDtypeStruct(n2, jnp.int32),                 # h1
+        jax.ShapeDtypeStruct(n2, jnp.int32),                 # h2
         jax.ShapeDtypeStruct(n2, jnp.int32),                 # mhi
         jax.ShapeDtypeStruct(n2, jnp.int32),                 # mlo
         jax.ShapeDtypeStruct(n2, jnp.float32),               # md

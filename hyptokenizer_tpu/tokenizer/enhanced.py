@@ -166,7 +166,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         # (avoids ~4 MB of host->device upload on a remote transport).
         max_v = self.max_vocab_size
         n0 = len(self.vocab)
-        t_hash = np.zeros((n0, 2), np.uint32)
+        t_hash = np.zeros((n0, 2), np.int32)
         b_len = np.zeros((n0,), np.int32)
         vflag = np.zeros((n0,), np.bool_)
         for idx, tok in enumerate(self.vocab):
@@ -292,6 +292,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         train_seconds = 0.0
         first_chunk_seconds = None  # includes jit compile; reported separately
         start_merges = len(self.merge_history)
+        prev_merges = start_merges
         while done < steps:
             if target_vocab_size is not None and \
                     len(self.vocab) >= target_vocab_size:
@@ -327,6 +328,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             # Per-chunk sampled distance diagnostics (the reference logs these
             # every log_every steps, enhanced_…:1077-1111).
             dstats = self.distance_statistics()
+            chunk_merges = len(self.merge_history) - prev_merges
+            prev_merges = len(self.merge_history)
             stat = {
                 "step": int(self.state.step),
                 "vocab_size": len(self.vocab),
@@ -335,6 +338,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 "curvature": float(self.state.curvature),
                 "phase": self.current_phase,
                 "steps_per_sec": chunk / dt if dt > 0 else float("inf"),
+                # Bounded measurement windows for the bench trial protocol
+                # (VERDICT r2 #2): actual merges and wall seconds per chunk.
+                "chunk_merges": chunk_merges,
+                "chunk_seconds": dt,
                 "pair_table_unique": int(self.enh_state.pair_unique),
                 "min_dist": dstats["min"],
                 "max_dist": dstats["max"],
@@ -397,7 +404,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         counts = np.asarray(self.enh_state.pair_counts)
         out = {}
         for (a, b), c in zip(keys, counts):
-            if a == 0xFFFFFFFF or c == 0:
+            if a == int(scoring.PKEY_SENT) or c == 0:
                 continue
             a, b = int(a), int(b)
             if a < len(self.vocab) and b < len(self.vocab):

@@ -172,7 +172,7 @@ class EnhancedState:
     corpus: jax.Array              # (N,) i32
     corpus_synced: jax.Array       # i32 — merges already replayed onto corpus
     corpus_tokens: jax.Array       # i32 — live token count at last sync
-    pair_keys: jax.Array           # (T, 2) u32 lex-sorted (lanes = left id,
+    pair_keys: jax.Array           # (T, 2) i32 lex-sorted (lanes = left id,
                                    # right id — exact at any vocab size)
     pair_counts: jax.Array         # (T,) i32
     max_pair_count: jax.Array      # i32
@@ -191,13 +191,13 @@ class EnhancedState:
     coh_samples: jax.Array         # (S,) i32 per-chunk coherence sample ids
 
     # Token hashes + features for device-side morphology checks.
-    token_hash: jax.Array          # (max_V, 2) u32
+    token_hash: jax.Array          # (max_V, 2) i32
     byte_lengths: jax.Array        # (max_V,) i32
     has_vowel: jax.Array           # (max_V,) bool — ORs under concatenation
-    hash_powers: jax.Array         # (2, MAX_HASH_LEN) u32
-    morph_table: jax.Array         # (Mm,) u32 sorted (padded 0xFFFFFFFF)
+    hash_powers: jax.Array         # (2, MAX_HASH_LEN) i32
+    morph_table: jax.Array         # (Mm,) i32 sorted (padded HKEY_SENT)
     morph_size: jax.Array          # i32
-    word_table: jax.Array          # (Mw,) u32 sorted
+    word_table: jax.Array          # (Mw,) i32 sorted
     word_size: jax.Array           # i32
 
     # Adam state for the trainable curvature.
@@ -223,7 +223,7 @@ def assemble_enhanced_buffers(t_hash0, b_len0, vflag0, max_v: int,
     q_dist = jnp.full((3, queue_size), INF, jnp.float32)
     q_score = jnp.full((3, queue_size), -INF, jnp.float32)
     samples = jnp.zeros((coh_samples,), jnp.int32)
-    token_hash = jnp.zeros((max_v, 2), jnp.uint32).at[:n0].set(t_hash0)
+    token_hash = jnp.zeros((max_v, 2), jnp.int32).at[:n0].set(t_hash0)
     byte_lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(b_len0)
     has_vowel = jnp.zeros((max_v,), jnp.bool_).at[:n0].set(vflag0)
     return (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, samples,
@@ -629,10 +629,8 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
 
     # Pairs already merged (any historical ordered pair) are consumed.
     in_hist = jnp.arange(base.merges.shape[0]) < base.num_merges
-    hist_hi = jnp.where(in_hist, base.merges[:, 0].astype(jnp.uint32),
-                        scoring.PKEY_SENT)
-    hist_lo = jnp.where(in_hist, base.merges[:, 1].astype(jnp.uint32),
-                        scoring.PKEY_SENT)
+    hist_hi = jnp.where(in_hist, base.merges[:, 0], scoring.PKEY_SENT)
+    hist_lo = jnp.where(in_hist, base.merges[:, 1], scoring.PKEY_SENT)
     hist_hi, hist_lo = jax.lax.sort((hist_hi, hist_lo), num_keys=2)
     consumed = scoring.in_sorted_pair_set(
         keys[:, 0], keys[:, 1], hist_hi, hist_lo, base.num_merges) & valid
@@ -677,6 +675,11 @@ curvature_update_jit = jax.jit(_maybe_update_curvature,
                                static_argnames=("config",))
 
 _FUSED_DISABLED = False
+# Backend used by the most recent run_enhanced call in this process:
+# "fused" (Pallas segment kernel) or "xla" (while-loop). bench.py reports it
+# in the headline JSON so a silent fallback is visible in the artifact
+# (VERDICT r2 #2).
+LAST_BACKEND = None
 
 
 def _disable_fused() -> None:
@@ -686,7 +689,10 @@ def _disable_fused() -> None:
     import traceback
     logging.getLogger(__name__).warning(
         "fused enhanced kernel failed to compile; falling back to the XLA "
-        "while-loop for this process:\n%s", traceback.format_exc())
+        "while-loop for this process. This is a Mosaic LOWERING regression — "
+        "run `python -m hyptokenizer_tpu.cli.test_tpu --kernel-check` on the "
+        "TPU and see ops/pallas/KERNELS.md for the legal-construct rules:\n%s",
+        traceback.format_exc())
 
 
 def run_enhanced(st: EnhancedState, config: EnhancedConfig,
@@ -702,6 +708,7 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
     dispatch latency amortises across a whole segment); elsewhere, or when
     the kernel's shape preconditions fail, the jitted ``lax.while_loop``.
     """
+    global LAST_BACKEND
     use_pallas = config.base.use_pallas
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -709,7 +716,9 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
         from hyptokenizer_tpu.ops.pallas import enhanced_loop
         if enhanced_loop.supports(st, config):
             try:
-                return enhanced_loop.run_enhanced_fused(st, config, n_steps)
+                out = enhanced_loop.run_enhanced_fused(st, config, n_steps)
+                LAST_BACKEND = "fused"
+                return out
             except Exception:
                 # A kernel COMPILE failure (env/toolchain) downgrades to the
                 # XLA path for the process; mid-run state is unharmed (the
@@ -718,5 +727,5 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
                 # would raise identically under XLA, so only the first
                 # failure is swallowed — and loudly.
                 _disable_fused()
-        return _run_enhanced_xla(st, config, n_steps)
+    LAST_BACKEND = "xla"
     return _run_enhanced_xla(st, config, n_steps)

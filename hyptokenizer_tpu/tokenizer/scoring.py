@@ -35,13 +35,18 @@ PAD_ID = _np.int32(-1)
 # frequency_aware_…:92-112) but survives compaction, unlike PAD.
 SEP_ID = _np.int32(-2)
 
-# Two 16-bit-prime rolling hashes packed into one uint32 key (x64 is disabled;
-# 65520^2 < 2^32 keeps the modular products exact in uint32).
-HASH_P1 = 65521
-HASH_P2 = 65519
+# Two 15-bit-prime rolling hashes packed into one int32 key. int32 (not
+# uint32) everywhere: Mosaic lowers no unsigned reductions (the round-2
+# on-chip failure — VERDICT r2 #1), and 15-bit primes keep every modular
+# product (< 32748^2 < 2^30) and the packed key (< 32749*65536 < 2^31-1)
+# exact in int32 on both the XLA and the Pallas path.
+HASH_P1 = 32749
+HASH_P2 = 32719
 HASH_B1 = 257
 HASH_B2 = 263
 MAX_HASH_LEN = 4096  # token-length cap for the power tables
+HKEY_SENT = _np.int32(2**31 - 1)  # sorted-table pad; every valid packed key
+                                  # is < 32749*65536 + 32718 < 2^31 - 1
 
 
 def hash_powers(max_len: int = MAX_HASH_LEN):
@@ -53,7 +58,7 @@ def hash_powers(max_len: int = MAX_HASH_LEN):
     import numpy as _np
 
     def powers(b, p):
-        out = _np.empty((max_len,), _np.uint32)
+        out = _np.empty((max_len,), _np.int32)
         acc = 1
         for k in range(max_len):
             out[k] = acc
@@ -75,18 +80,22 @@ def hash_string(s: str):
 
 
 def pack_hash(h1, h2):
-    """Pack the two residues into one uint32 lookup key."""
-    return (jnp.uint32(h1) * jnp.uint32(65536) + jnp.uint32(h2)).astype(jnp.uint32)
+    """Pack the two residues into one int32 lookup key (< 2^31 - 1)."""
+    return (jnp.int32(h1) * jnp.int32(65536) + jnp.int32(h2)).astype(jnp.int32)
 
 
 def compose_hash(h_i: jax.Array, h_j: jax.Array, byte_len_j: jax.Array,
                  powers: jax.Array) -> jax.Array:
-    """hash(a+b) from hash(a), hash(b), len_bytes(b). Shapes (..., 2)."""
+    """hash(a+b) from hash(a), hash(b), len_bytes(b). Shapes (..., 2).
+
+    int32 throughout: residues < 2^15 and powers < 2^15, so the products stay
+    below 2^30 — exact in int32 (and Mosaic-legal in the fused kernel).
+    """
     idx = jnp.minimum(byte_len_j, MAX_HASH_LEN - 1)
     p1 = powers[0, idx]
     p2 = powers[1, idx]
-    c1 = (h_i[..., 0] * p1 + h_j[..., 0]) % jnp.uint32(HASH_P1)
-    c2 = (h_i[..., 1] * p2 + h_j[..., 1]) % jnp.uint32(HASH_P2)
+    c1 = (h_i[..., 0] * p1 + h_j[..., 0]) % jnp.int32(HASH_P1)
+    c2 = (h_i[..., 1] * p2 + h_j[..., 1]) % jnp.int32(HASH_P2)
     return jnp.stack([c1, c2], axis=-1)
 
 
@@ -104,7 +113,7 @@ def _membership_sort_join(keys: jax.Array, table: jax.Array,
     q = keys.shape[0]
     mt = table.shape[0]
     tpos = jnp.arange(mt, dtype=jnp.int32)
-    sent = jnp.uint32(0xFFFFFFFF)
+    sent = jnp.int32(HKEY_SENT)
     tkey = jnp.where(tpos < table_size, table, sent)
     allk = jnp.concatenate([tkey, keys])
     tag = jnp.concatenate([jnp.zeros((mt,), jnp.int32),
@@ -115,12 +124,12 @@ def _membership_sort_join(keys: jax.Array, table: jax.Array,
     sk, stag, spos = jax.lax.sort((allk, tag, opos), num_keys=2)
     # Most recent table key (+1, so key 0 is distinguishable from "none");
     # keys are sorted ascending, so a prefix max carries the nearest table
-    # key at-or-below each position. Valid keys are < 0xFFFFFFFF, so +1
-    # never wraps for matchable entries.
-    tbl_mark = jnp.where((stag == 0) & (sk != sent), sk + jnp.uint32(1),
-                         jnp.uint32(0))
+    # key at-or-below each position. Valid keys are < HKEY_SENT, so +1 never
+    # overflows for matchable entries (sentinel rows are masked out).
+    tbl_mark = jnp.where((stag == 0) & (sk != sent), sk + jnp.int32(1),
+                         jnp.int32(0))
     last_tbl = jax.lax.associative_scan(jnp.maximum, tbl_mark)
-    member = (stag == 1) & (last_tbl == sk + jnp.uint32(1)) & (sk != sent)
+    member = (stag == 1) & (last_tbl == sk + jnp.int32(1)) & (sk != sent)
     # Each query slot is written exactly once (spos is unique over queries);
     # table entries all land in dropped slot q.
     out = jnp.zeros((q + 1,), jnp.bool_).at[spos].set(member)
@@ -128,7 +137,7 @@ def _membership_sort_join(keys: jax.Array, table: jax.Array,
 
 
 def in_sorted_set(keys: jax.Array, table: jax.Array, table_size: jax.Array) -> jax.Array:
-    """Membership of uint32 keys in a sorted uint32 table (padded with max).
+    """Membership of int32 keys in a sorted int32 table (padded with HKEY_SENT).
 
     Large query batches dispatch to the sort-join (see above); small ones
     (the per-step dense-candidate checks) keep the binary search, which is
@@ -143,17 +152,18 @@ def in_sorted_set(keys: jax.Array, table: jax.Array, table_size: jax.Array) -> j
 
 # ------------------------------------------------------------------ pair keys
 #
-# Adjacent-pair keys are TWO uint32 lanes (hi = left token id, lo = right
+# Adjacent-pair keys are TWO int32 lanes (hi = left token id, lo = right
 # token id), ordered lexicographically — which equals the order of the
-# mathematical key a*max_vocab+b. A single-lane uint32 packing overflows once
+# mathematical key a*max_vocab+b. A single-lane 32-bit packing overflows once
 # max_vocab exceeds 65535, and the reference DEFAULT is max_vocab_size=100000
 # (hyperbolic_merge.py:115): wrapped keys silently alias distinct pairs and
-# corrupt frequencies/consumed sets. Two lanes are exact for any id < 2^32
-# with x64 left disabled (TPU-native 32-bit ops), at the cost of one extra
-# compare/sort operand per op.
+# corrupt frequencies/consumed sets. Two lanes are exact for any id < 2^31
+# (TPU-native 32-bit ops), at the cost of one extra compare/sort operand per
+# op. int32 rather than uint32 because token ids are int32 everywhere else
+# and Mosaic lowers no unsigned reductions (VERDICT r2 #1).
 
-PKEY_SENT = _np.uint32(0xFFFFFFFF)  # sentinel in BOTH lanes; any valid hi
-                                    # lane is a token id < max_vocab
+PKEY_SENT = _np.int32(2**31 - 1)  # sentinel in BOTH lanes; any valid hi
+                                  # lane is a token id < max_vocab << 2^31
 
 
 def searchsorted_pairs(t_hi: jax.Array, t_lo: jax.Array,
@@ -209,8 +219,8 @@ def _pair_membership_sort_join(q_hi, q_lo, t_hi, t_lo, table_size):
 
 def in_sorted_pair_set(q_hi, q_lo, t_hi, t_lo, table_size) -> jax.Array:
     """Membership of (hi, lo) pair keys in a lex-sorted two-lane table."""
-    q_hi = q_hi.astype(jnp.uint32)
-    q_lo = q_lo.astype(jnp.uint32)
+    q_hi = q_hi.astype(jnp.int32)
+    q_lo = q_lo.astype(jnp.int32)
     if q_hi.size >= 4096:
         return _pair_membership_sort_join(q_hi, q_lo, t_hi, t_lo, table_size)
     pos = searchsorted_pairs(t_hi, t_lo, q_hi, q_lo)
@@ -318,8 +328,8 @@ def match_rules(key_hi: jax.Array, key_lo: jax.Array, merges: jax.Array,
         rules = jax.lax.dynamic_slice_in_dim(merges, g0, rule_group, axis=0)
         ks = g0 + jnp.arange(rule_group, dtype=jnp.int32)
         ok = (ks >= start) & (ks < start + count) & (rules[:, 0] >= 0)
-        rhi = jnp.where(ok, rules[:, 0].astype(jnp.uint32), PKEY_SENT)
-        rlo = jnp.where(ok, rules[:, 1].astype(jnp.uint32), PKEY_SENT)
+        rhi = jnp.where(ok, rules[:, 0], PKEY_SENT)
+        rlo = jnp.where(ok, rules[:, 1], PKEY_SENT)
         rid = jnp.asarray(n_init, jnp.int32) + ks
 
         def one_tile(kt):
@@ -334,7 +344,7 @@ def match_rules(key_hi: jax.Array, key_lo: jax.Array, merges: jax.Array,
         lambda carry: carry[0] < n_groups, one_group,
         (jnp.asarray(0, jnp.int32), jnp.full((pad_n,), -1, jnp.int32)))
     # Sentinel keys can never match: a valid rule hi lane is a token id,
-    # strictly below the 0xFFFFFFFF sentinel.
+    # strictly below the PKEY_SENT (int32 max) sentinel.
     return matched[:n]
 
 
@@ -343,8 +353,8 @@ def _adjacent_pair_keys(c: jax.Array):
     either side is PAD/SEP."""
     nxt = jnp.roll(c, -1).at[-1].set(PAD_ID)
     valid = (c >= 0) & (nxt >= 0)
-    hi = jnp.where(valid, c.astype(jnp.uint32), PKEY_SENT)
-    lo = jnp.where(valid, nxt.astype(jnp.uint32), PKEY_SENT)
+    hi = jnp.where(valid, c, PKEY_SENT)
+    lo = jnp.where(valid, nxt, PKEY_SENT)
     return hi, lo, valid
 
 
@@ -498,11 +508,11 @@ def corpus_token_count(corpus: jax.Array) -> jax.Array:
 def build_pair_table(corpus: jax.Array, table_size: int):
     """Sorted (pair_key, count) snapshot of adjacent-pair frequencies.
 
-    Pair keys are two uint32 lanes (hi = left id, lo = right id) in
+    Pair keys are two int32 lanes (hi = left id, lo = right id) in
     lexicographic order — exact at any vocab size (the single-lane
     a*max_vocab+b packing wraps above 65535 ids). Returns
     (keys_sorted (T, 2), counts, n_unique, max_count). Unused slots hold
-    key = (0xFFFFFFFF, 0xFFFFFFFF) / count = 0.
+    key = (PKEY_SENT, PKEY_SENT) / count = 0.
     """
     khi, klo, _ = _adjacent_pair_keys(corpus)  # sentinel where PAD/SEP
     khi, klo = jax.lax.sort((khi, klo), num_keys=2)
@@ -542,8 +552,8 @@ def lookup_pair_counts(q_hi: jax.Array, q_lo: jax.Array,
                        table_keys: jax.Array,
                        table_counts: jax.Array) -> jax.Array:
     """Counts for (hi, lo) pair keys in a (T, 2) table (0 when absent)."""
-    q_hi = q_hi.astype(jnp.uint32)
-    q_lo = q_lo.astype(jnp.uint32)
+    q_hi = q_hi.astype(jnp.int32)
+    q_lo = q_lo.astype(jnp.int32)
     t_hi = table_keys[:, 0]
     t_lo = table_keys[:, 1]
     pos = searchsorted_pairs(t_hi, t_lo, q_hi, q_lo)

@@ -9,8 +9,9 @@ host restart.
 
 Format compatibility: the checkpoint template is the CURRENT EnhancedState
 pytree. Checkpoints written before the two-lane pair-key / candidate-queue
-redesign (pair_keys (T,) uint32, sp_* arrays) do not restore into this
-version — delete and retrain, or restore with the matching older build.
+redesign, or before the uint32 -> int32 key/hash switch (round 3 — Mosaic
+lowers no unsigned reductions), do not restore into this version — delete and
+retrain, or restore with the matching older build.
 """
 
 from __future__ import annotations

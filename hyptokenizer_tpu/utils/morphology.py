@@ -56,13 +56,13 @@ class MorphologyTables:
     token_frequencies: dict = field(default_factory=dict)
 
     def hash_tables(self):
-        """(morph_keys_sorted, morph_size, word_keys_sorted, word_size) uint32."""
-        from hyptokenizer_tpu.tokenizer.scoring import hash_string
+        """(morph_keys_sorted, morph_size, word_keys_sorted, word_size) int32."""
+        from hyptokenizer_tpu.tokenizer.scoring import HKEY_SENT, hash_string
 
         def table(strings):
             keys = sorted({(h1 * 65536 + h2) for h1, h2 in
                            (hash_string(s) for s in strings)})
-            arr = np.asarray(keys + [0xFFFFFFFF], dtype=np.uint32)
+            arr = np.asarray(keys + [int(HKEY_SENT)], dtype=np.int32)
             return arr, len(keys)
 
         mk, ms = table(self.morph_set)

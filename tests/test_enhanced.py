@@ -261,7 +261,7 @@ def test_enhanced_training_correct_at_100k_vocab():
         use_dense_channel=False, merge_batch=1, freq_table_size=1 << 12)
     (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, coh_samples,
      token_hash, byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
-        jnp.zeros((0, 2), jnp.uint32), jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0, 2), jnp.int32), jnp.zeros((0,), jnp.int32),
         jnp.zeros((0,), jnp.bool_), max_v, 1 << 12,
         config.queue_size, config.coherence_samples)
     st = E.EnhancedState(
@@ -277,10 +277,10 @@ def test_enhanced_training_correct_at_100k_vocab():
         needs_resync=jnp.asarray(False), coh_samples=coh_samples,
         token_hash=token_hash, byte_lengths=byte_lengths,
         has_vowel=has_vowel,
-        hash_powers=jnp.zeros((2, 8), jnp.uint32),
-        morph_table=jnp.full((8,), 0xFFFFFFFF, jnp.uint32),
+        hash_powers=jnp.zeros((2, 8), jnp.int32),
+        morph_table=jnp.full((8,), 2**31 - 1, jnp.int32),
         morph_size=jnp.asarray(0, jnp.int32),
-        word_table=jnp.full((8,), 0xFFFFFFFF, jnp.uint32),
+        word_table=jnp.full((8,), 2**31 - 1, jnp.int32),
         word_size=jnp.asarray(0, jnp.int32),
         curv_m=jnp.asarray(0.0, jnp.float32),
         curv_v=jnp.asarray(0.0, jnp.float32),
@@ -319,3 +319,39 @@ def test_training_summary_separate_from_stats(tmp_path):
     with open(os.path.join(d, "training_stats.json")) as f:
         stats = json.load(f)
     plot_training_curves(stats, str(tmp_path / "curves.png"))
+
+
+def test_fused_compile_failure_is_loud_and_falls_back(monkeypatch, caplog):
+    """KERNELS.md protocol: a fused-kernel compile failure must (a) fall back
+    to the XLA while-loop with an IDENTICAL result, and (b) log a loud
+    warning pointing at the on-chip `--kernel-check` breadcrumb."""
+    import logging
+
+    from hyptokenizer_tpu.ops.pallas import enhanced_loop
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    tok = make_tok(use_frequency_aware=True, merge_batch=4,
+                   freq_table_size=1024, queue_size=128, seed=0,
+                   use_dense_channel=False)
+    # Force the fused path on the CPU backend (there is no ctor knob; the
+    # config flag is the dispatch switch run_enhanced consults).
+    tok.enh_config = tok.enh_config.replace(
+        base=tok.enh_config.base.replace(use_pallas=True))
+    st0 = jax.tree.map(jnp.array, tok.enh_state)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic Mosaic lowering failure")
+
+    monkeypatch.setattr(enhanced_loop, "run_enhanced_fused", boom)
+    monkeypatch.setattr(E, "_FUSED_DISABLED", False)
+    with caplog.at_level(logging.WARNING):
+        st_fb = E.run_enhanced(jax.tree.map(jnp.array, tok.enh_state),
+                               tok.enh_config, 8)
+    assert E._FUSED_DISABLED
+    assert any("kernel-check" in r.getMessage() for r in caplog.records)
+    st_x = E._run_enhanced_xla(st0, tok.enh_config, 8)
+    nf, nx = int(st_fb.base.num_merges), int(st_x.base.num_merges)
+    assert nf == nx and nf > 0
+    np.testing.assert_array_equal(np.asarray(st_fb.base.merges[:nf]),
+                                  np.asarray(st_x.base.merges[:nx]))
+    monkeypatch.setattr(E, "_FUSED_DISABLED", False)

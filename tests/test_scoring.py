@@ -53,8 +53,8 @@ def test_pair_table_counts():
     keys, counts, n_unique, max_count = S.build_pair_table(c, 16)
     # pairs: (1,2) x2, (2,1) x2, (2,2) x1  — (1,-1) invalid
     lk = S.lookup_pair_counts(
-        jnp.asarray([1, 2, 2, 3], jnp.uint32),
-        jnp.asarray([2, 1, 2, 3], jnp.uint32), keys, counts)
+        jnp.asarray([1, 2, 2, 3], jnp.int32),
+        jnp.asarray([2, 1, 2, 3], jnp.int32), keys, counts)
     np.testing.assert_array_equal(np.asarray(lk), [2, 2, 1, 0])
     assert int(n_unique) == 3
     assert int(max_count) == 2
@@ -67,7 +67,7 @@ def test_hash_compose_matches_host():
         hb = S.hash_string(b)
         hc = S.hash_string(a + b)
         dev = S.compose_hash(
-            jnp.asarray([ha], jnp.uint32), jnp.asarray([hb], jnp.uint32),
+            jnp.asarray([ha], jnp.int32), jnp.asarray([hb], jnp.int32),
             jnp.asarray([len(b.encode())], jnp.int32), powers)
         assert (int(dev[0, 0]), int(dev[0, 1])) == hc, (a, b)
 
@@ -80,7 +80,7 @@ def test_in_sorted_set():
     for s in ["ing", "dog", "zzz"]:
         h1, h2 = S.hash_string(s)
         keys.append(h1 * 65536 + h2)
-    keys = jnp.asarray(keys, jnp.uint32)
+    keys = jnp.asarray(keys, jnp.int32)
     got = np.asarray(S.in_sorted_set(keys, jnp.asarray(mk), jnp.asarray(ms)))
     np.testing.assert_array_equal(got, [True, False, False])
     got_w = np.asarray(S.in_sorted_set(keys, jnp.asarray(wk), jnp.asarray(ws)))
@@ -97,8 +97,8 @@ def test_match_rules_group_boundaries():
     merges[:1600] = rng.integers(0, 60, (1600, 2))
     # Rule window straddles the 512-wide group boundary at 1024.
     start, count = 900, 300
-    hi_np = rng.integers(0, 60, 4096).astype(np.uint32)
-    lo_np = rng.integers(0, 60, 4096).astype(np.uint32)
+    hi_np = rng.integers(0, 60, 4096).astype(np.int32)
+    lo_np = rng.integers(0, 60, 4096).astype(np.int32)
     # Sprinkle keys that actually match in-window rules.
     for k in range(start, start + count, 7):
         p = rng.integers(0, 4096)
@@ -126,14 +126,14 @@ def test_match_rules_group_boundaries():
 
 def test_membership_sort_join_matches_binary_search():
     rng = np.random.default_rng(5)
-    table = np.unique(rng.integers(0, 1 << 20, 3000).astype(np.uint32))
-    pad = np.full(4096 - table.shape[0], 0xFFFFFFFF, np.uint32)
+    table = np.unique(rng.integers(0, 1 << 20, 3000).astype(np.int32))
+    pad = np.full(4096 - table.shape[0], S.HKEY_SENT, np.int32)
     tbl = jnp.asarray(np.concatenate([table, pad]))
     tsize = jnp.asarray(table.shape[0], jnp.int32)
     queries = np.concatenate([
         rng.choice(table, 2000),                       # hits
-        rng.integers(0, 1 << 20, 3000).astype(np.uint32),  # mostly misses
-        np.asarray([0xFFFFFFFF, 0, table[0], table[-1]], np.uint32),
+        rng.integers(0, 1 << 20, 3000).astype(np.int32),  # mostly misses
+        np.asarray([S.HKEY_SENT, 0, table[0], table[-1]], np.int32),
     ])
     q = jnp.asarray(queries)
     got = np.asarray(S._membership_sort_join(q, tbl, tsize))
@@ -155,7 +155,7 @@ def test_pair_table_matches_counter_random():
                    if a >= 0 and b >= 0)
     got = {}
     for (a, b), n in zip(np.asarray(keys), np.asarray(counts)):
-        if int(a) != 0xFFFFFFFF:
+        if int(a) != int(S.PKEY_SENT):
             got[(int(a), int(b))] = int(n)
     assert got == dict(want)
     assert int(n_unique) == len(want)
@@ -319,13 +319,13 @@ def test_pair_keys_exact_above_uint16_ids():
     keys, counts, n_unique, max_count = S.build_pair_table(c, 16)
     got = {(int(h), int(l)): int(n)
            for (h, l), n in zip(np.asarray(keys), np.asarray(counts))
-           if int(h) != 0xFFFFFFFF}
+           if int(h) != int(S.PKEY_SENT)}
     assert got == {(a1, b1): 2, (a2, b2): 1}
     assert int(n_unique) == 2
 
     lk = S.lookup_pair_counts(
-        jnp.asarray([a1, a2, a1], jnp.uint32),
-        jnp.asarray([b1, b2, b2], jnp.uint32), keys, counts)
+        jnp.asarray([a1, a2, a1], jnp.int32),
+        jnp.asarray([b1, b2, b2], jnp.int32), keys, counts)
     np.testing.assert_array_equal(np.asarray(lk), [2, 1, 0])
 
     # Replay with high-id rules: (a1, b1) -> 100001-ish new id.
@@ -340,16 +340,16 @@ def test_pair_keys_exact_above_uint16_ids():
 def test_searchsorted_pairs_and_membership_oracle():
     rng = np.random.default_rng(11)
     tbl = np.unique(
-        rng.integers(0, 1 << 20, (3000, 2)).astype(np.uint32), axis=0)
+        rng.integers(0, 1 << 20, (3000, 2)).astype(np.int32), axis=0)
     order = np.lexsort((tbl[:, 1], tbl[:, 0]))
     tbl = tbl[order]
     tsize = tbl.shape[0]
-    pad = np.full((4096 - tsize, 2), 0xFFFFFFFF, np.uint32)
+    pad = np.full((4096 - tsize, 2), S.PKEY_SENT, np.int32)
     full = np.concatenate([tbl, pad])
     queries = np.concatenate([
         tbl[rng.integers(0, tsize, 2000)],                # hits
-        rng.integers(0, 1 << 20, (3000, 2)).astype(np.uint32),  # misses
-        np.asarray([[0xFFFFFFFF, 0xFFFFFFFF], [0, 0]], np.uint32),
+        rng.integers(0, 1 << 20, (3000, 2)).astype(np.int32),  # misses
+        np.asarray([[S.PKEY_SENT, S.PKEY_SENT], [0, 0]], np.int32),
         tbl[:1], tbl[-1:],
     ])
     t_hi = jnp.asarray(full[:, 0])
