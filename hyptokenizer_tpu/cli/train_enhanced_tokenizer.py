@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--phase2-step", type=int, default=1000)
     p.add_argument("--phase3-step", type=int, default=6000)
     p.add_argument("--corpus-max-tokens", type=int, default=1 << 21)
+    p.add_argument("--corpus-shards", type=int, default=8,
+                   help="align corpus shard boundaries to PAD/SEP so the "
+                        "multi-chip sync counts pairs per shard "
+                        "(parallel/sharded.sync_corpus_sharded); serves any "
+                        "mesh of <= this many devices whose size divides it")
     p.add_argument("--merge-batch", type=int, default=8,
                    help="candidates consumed per scored round (1 = strict "
                         "greedy; >1 = the reference's cache-consume batching)")
@@ -105,6 +110,7 @@ def main(argv=None):
         distortion_weight=args.distortion_weight,
         optimize_curvature_freq=args.optimize_curvature_freq,
         corpus_max_tokens=args.corpus_max_tokens,
+        corpus_shards=args.corpus_shards,
         merge_batch=args.merge_batch,
         min_pair_freq=args.min_pair_freq,
         use_dense_channel=args.use_dense_channel,

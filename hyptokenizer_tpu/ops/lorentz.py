@@ -56,13 +56,44 @@ ACOSH_EPS = 1e-8         # -<x,y> clamped to >= 1 + ACOSH_EPS (:109, :135, :172)
 LOG_COEF_MAX = 1e4       # log-map coefficient cap            (:113)
 EXP_ZERO_TOL = 1e-6      # exp-map degenerate-direction mask  (:89)
 
+# Contraction precision for every inner product in this module. On TPU, XLA
+# rewrites an elementwise mul+reduce into an MXU dot at DEFAULT precision —
+# a single bf16 pass with ~2^-9 relative error (measured 2.9e-3 absolute on
+# d=100 grams, tools/diag_midpoint.py). acosh(xy) near xy=1 needs absolute
+# gram error << xy-1, so short distances lose ALL resolution at default
+# precision. HIGHEST restores exact-f32-level grams (1.8e-6 vs float64 truth)
+# and measures 0% slower at the framework's bandwidth-bound shapes (k=128;
+# tools/diag_precision.py).
+DOT_PREC = jax.lax.Precision.HIGHEST
+
+
+def acosh(x: jax.Array) -> jax.Array:
+    """``acosh`` for ``x >= 1`` as ``log(x + sqrt(x^2 - 1))``.
+
+    The same evaluation the Pallas kernels use (Mosaic has no acosh
+    primitive; ops/pallas/merge_loop._acosh) — sharing the formula keeps the
+    XLA and kernel paths within 1 ulp of each other (log/sqrt lower
+    bitwise-identically either side, tools/diag_midpoint.py). Same gradient
+    as ``jnp.arccosh`` (1/sqrt(x^2-1)).
+    """
+    return jnp.log(x + jnp.sqrt(x * x - 1.0))
+
+
+def _signature(d1: int, dtype) -> jax.Array:
+    """Metric signature ``(+1, -1, ..., -1)`` of length ``d1``."""
+    return jnp.concatenate(
+        [jnp.ones((1,), dtype), -jnp.ones((d1 - 1,), dtype)])
+
 
 def minkowski_dot(x: jax.Array, y: jax.Array) -> jax.Array:
     """Minkowski inner product ``x0*y0 - <x_s, y_s>`` over the last axis.
 
-    Parity: reference lorentz_model.py:14-25.
+    Parity: reference lorentz_model.py:14-25. Evaluated as ONE signed
+    contraction ``(x * s) . y`` at HIGHEST precision (see DOT_PREC) — the
+    same folded-signature single dot the pairwise/kernel paths use.
     """
-    return x[..., 0] * y[..., 0] - jnp.sum(x[..., 1:] * y[..., 1:], axis=-1)
+    return jnp.einsum("...i,...i->...", x * _signature(x.shape[-1], x.dtype),
+                      y, precision=DOT_PREC)
 
 
 def minkowski_norm(x: jax.Array) -> jax.Array:
@@ -76,7 +107,8 @@ def project_to_hyperboloid(x: jax.Array, c: float = 1.0) -> jax.Array:
     ``x0 = sqrt(1 + c * ||x_spatial||^2)``. Parity: reference lorentz_model.py:41-56.
     """
     spatial = x[..., 1:]
-    sq = jnp.sum(spatial * spatial, axis=-1, keepdims=True)
+    sq = jnp.einsum("...i,...i->...", spatial, spatial,
+                    precision=DOT_PREC)[..., None]
     x0 = jnp.sqrt(1.0 + c * sq)
     return jnp.concatenate([x0, spatial], axis=-1)
 
@@ -102,7 +134,8 @@ def exp_map(x: jax.Array, v: jax.Array, c: float = 1.0) -> jax.Array:
     spatial norm is simply wrong (breaks log/exp inversion); see DEVIATIONS.md.
     """
     del c
-    v_sq = jnp.sum(v[..., 1:] * v[..., 1:], axis=-1, keepdims=True) - (
+    v_sq = jnp.einsum("...i,...i->...", v[..., 1:], v[..., 1:],
+                      precision=DOT_PREC)[..., None] - (
         v[..., 0:1] * v[..., 0:1]
     )
     v_norm = jnp.sqrt(jnp.maximum(v_sq, EPS_NORM))
@@ -128,7 +161,7 @@ def log_map(x: jax.Array, y: jax.Array, c: float = 1.0) -> jax.Array:
     denom_sq = m_c * m_c - 1.0
     coef = jnp.where(
         denom_sq > 0,
-        jnp.arccosh(m_c) / jnp.sqrt(jnp.maximum(denom_sq, EPS_NORM)),
+        acosh(m_c) / jnp.sqrt(jnp.maximum(denom_sq, EPS_NORM)),
         1.0,
     )
     coef = jnp.minimum(coef, LOG_COEF_MAX)
@@ -161,7 +194,7 @@ def geodesic_point(x: jax.Array, y: jax.Array, w, c: float = 1.0) -> jax.Array:
     del c  # midpoints live on the c=1 sheet (distance-scale curvature model)
     m = minkowski_dot(x, y)
     m_c = jnp.maximum(m, 1.0 + ACOSH_EPS)
-    d = jnp.arccosh(m_c)
+    d = acosh(m_c)
     w = jnp.asarray(w, x.dtype)
     a = (1.0 - w) * d
     b = w * d
@@ -186,7 +219,7 @@ def distance(x: jax.Array, y: jax.Array, c: float = 1.0, eps: float = ACOSH_EPS)
     derivative.
     """
     xy = jnp.maximum(minkowski_dot(x, y), 1.0 + eps)
-    return jnp.arccosh(xy) / jnp.sqrt(jnp.asarray(c, dtype=x.dtype))
+    return acosh(xy) / jnp.sqrt(jnp.asarray(c, dtype=x.dtype))
 
 
 def pairwise_minkowski_dot(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -196,13 +229,11 @@ def pairwise_minkowski_dot(x: jax.Array, y: jax.Array) -> jax.Array:
     folded into ``x`` — a single MXU ``dot_general`` instead of the reference's
     broadcasted elementwise formulation (lorentz_model.py:154-166).
     """
-    signature = jnp.concatenate(
-        [jnp.ones((1,), x.dtype), -jnp.ones((x.shape[-1] - 1,), x.dtype)]
-    )
     return jax.lax.dot_general(
-        x * signature,
+        x * _signature(x.shape[-1], x.dtype),
         y,
         dimension_numbers=(((x.ndim - 1,), (y.ndim - 1,)), ((), ())),
+        precision=DOT_PREC,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
@@ -216,7 +247,7 @@ def pairwise_dist(x: jax.Array, y: jax.Array, c: float = 1.0,
     MXU and with the distance sign fixed (DEVIATIONS.md).
     """
     xy = jnp.maximum(pairwise_minkowski_dot(x, y), 1.0 + eps)
-    return jnp.arccosh(xy) / jnp.sqrt(jnp.asarray(c, dtype=x.dtype))
+    return acosh(xy) / jnp.sqrt(jnp.asarray(c, dtype=x.dtype))
 
 
 # Aliases mirroring the reference's public names (SURVEY §2.1).

@@ -61,8 +61,11 @@ def _kernel(vs_ref, xs_ref, ys_ref, min_ref, arg_ref):
         m = jax.lax.dot_general(
             xs_ref[:], ys_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )  # (TM, TN) Minkowski Gram tile
+        )  # (TM, TN) Minkowski Gram tile — HIGHEST: a default-precision MXU
+        # dot is a single bf16 pass (~2^-9 relative), which erases the
+        # resolution of acosh near 1 (short distances); see lorentz.DOT_PREC.
         mc = jnp.maximum(m, 1.0 + ACOSH_EPS)
 
         vocab_size = vs_ref[0]

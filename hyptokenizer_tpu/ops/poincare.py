@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST
+
 EPS_NORM = 1e-8  # min-norm clamp (reference poincare_ball.py:62,81,100)
 
 
@@ -21,9 +23,11 @@ def norm(x: jax.Array) -> jax.Array:
 
 def mobius_addition(x: jax.Array, y: jax.Array, c: float = 1.0) -> jax.Array:
     """Möbius addition ``x ⊕_c y``. Parity: poincare_ball.py:27-46."""
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    y_sq = jnp.sum(y * y, axis=-1, keepdims=True)
-    xy = jnp.sum(x * y, axis=-1, keepdims=True)
+    # einsum at HIGHEST precision: XLA:TPU rewrites mul+reduce into a
+    # default-precision (single-bf16-pass) MXU dot (see lorentz.DOT_PREC).
+    x_sq = jnp.einsum("...i,...i->...", x, x, precision=_PREC)[..., None]
+    y_sq = jnp.einsum("...i,...i->...", y, y, precision=_PREC)[..., None]
+    xy = jnp.einsum("...i,...i->...", x, y, precision=_PREC)[..., None]
     num = (1.0 + 2.0 * c * xy + c * y_sq) * x + (1.0 - c * x_sq) * y
     denom = 1.0 + 2.0 * c * xy + c * c * x_sq * y_sq
     return num / denom
@@ -91,6 +95,6 @@ def poincare_to_lorentz(x: jax.Array, c: float = 1.0) -> jax.Array:
     test covering it — SURVEY §4); see DEVIATIONS.md.
     """
     k = 1.0 / jnp.sqrt(jnp.asarray(c, x.dtype))
-    s = jnp.sum(x * x, axis=-1, keepdims=True)
+    s = jnp.einsum("...i,...i->...", x, x, precision=_PREC)[..., None]
     x0 = (k * s + jnp.sqrt(1.0 + s * (k * k - 1.0))) / (1.0 - s)
     return jnp.concatenate([x0, x * (x0 + k)], axis=-1)

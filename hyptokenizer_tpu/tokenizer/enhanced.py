@@ -100,6 +100,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         normalizer=None,
         merge_policy: str = "fixpoint",
         mesh=None,
+        corpus_shards: int = 1,
     ):
         super().__init__(
             vocab, embeddings, curvature=curvature,
@@ -151,7 +152,9 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         elif corpus_sample:
             texts = list(corpus_sample)
         self.corpus_sample = texts
-        corpus_ids = self._encode_initial_corpus(texts, corpus_max_tokens)
+        self.corpus_shards = corpus_shards
+        corpus_ids = self._encode_initial_corpus(texts, corpus_max_tokens,
+                                                 corpus_shards)
 
         # --- morphology tables ---
         if use_hierarchical and texts:
@@ -220,7 +223,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
 
     # ------------------------------------------------------------------ setup
     def _encode_initial_corpus(self, texts: List[str],
-                               corpus_max_tokens: int) -> jax.Array:
+                               corpus_max_tokens: int,
+                               corpus_shards: int = 1) -> jax.Array:
         from hyptokenizer_tpu.utils import data
         from hyptokenizer_tpu.tokenizer import normalize as norm_lib
         # SEP between lines: no cross-line pairs (frequency_aware_…:92-112).
@@ -230,11 +234,19 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         if self.normalizer is not None:
             texts = [norm_lib.normalize(t, self.normalizer) for t in texts]
             pre_split = self.normalizer.pre_split
-        return jnp.asarray(data.encode_corpus_chars(
+        ids = data.encode_corpus_chars(
             texts, self.vocab, corpus_max_tokens,
             unk_id=self.token2idx.get("<unk>", 3),
             sep_id=int(scoring.SEP_ID), pad_id=int(scoring.PAD_ID),
-            pre_split=pre_split))
+            pre_split=pre_split)
+        if corpus_shards > 1:
+            # Align SEP/PAD to every 1/corpus_shards boundary so the
+            # multi-chip sync (parallel/sharded.sync_corpus_sharded) can
+            # count pairs per corpus shard with no boundary loss.
+            ids = data.shard_align_corpus(
+                ids, corpus_shards,
+                pad_id=int(scoring.PAD_ID), sep_id=int(scoring.SEP_ID))
+        return jnp.asarray(ids)
 
     # ---------------------------------------------------------------- training
     MIN_CORPUS_BUFFER = 1 << 16
@@ -253,6 +265,12 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         import jax as _jax
         if self.mesh is not None and _jax.process_count() > 1:
             return  # sharded corpus is not host-addressable across processes
+        if self.corpus_shards > 1:
+            # Shard-aligned corpora keep live tokens at each SHARD's prefix
+            # (per-shard compaction), not the global prefix: slicing the
+            # buffer would drop later shards' content. Sync cost is already
+            # per-shard in this mode.
+            return
         corpus = self.enh_state.corpus
         buf = corpus.shape[0]
         if buf <= self.MIN_CORPUS_BUFFER:

@@ -599,6 +599,19 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         base.num_merges - st.corpus_synced, config.n_init)
     keys, counts, n_unique, max_count = scoring.build_pair_table(
         corpus, config.freq_table_size)
+    return _sync_finish(st, config, corpus, keys, counts, n_unique,
+                        max_count)
+
+
+def _sync_finish(st: EnhancedState, config: EnhancedConfig, corpus,
+                 keys, counts, n_unique, max_count) -> EnhancedState:
+    """Tail of the sync: scores + candidate queues from a fresh pair table.
+
+    Shared by :func:`sync_corpus` and the corpus-sharded variant
+    (parallel/sharded.sync_corpus_sharded), which computes the replayed
+    corpus and the pair table with per-shard work instead.
+    """
+    base = st.base
 
     # Per-chunk coherence sample set (one draw per sync — every candidate
     # scored this chunk sees the same samples; the reference redraws per

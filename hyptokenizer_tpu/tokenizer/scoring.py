@@ -548,6 +548,61 @@ def build_pair_table(corpus: jax.Array, table_size: int):
     return (keys_out, counts, n_unique, max_count)
 
 
+def merge_pair_tables(keys: jax.Array, counts: jax.Array,
+                      n_uniques: jax.Array, table_size: int):
+    """Combine per-shard pair tables into one global sorted table.
+
+    ``keys`` is the row-concatenation of S per-shard (T, 2) tables (shape
+    (S*T, 2)), ``counts`` (S*T,), ``n_uniques`` (S,) the per-shard UNCLIPPED
+    unique counts. Returns the same (keys, counts, n_unique, max_count)
+    contract as :func:`build_pair_table` and is count-exact with it on the
+    concatenated corpus when no shard overflowed: per-shard uniques are
+    subsets of the global uniques, so "global fits in table_size" implies
+    every shard fits. Under overflow, keys/counts of the kept (lex-first)
+    table_size slots are STILL exact — a globally-kept key has shard-rank <=
+    its global rank in every shard, so no shard dropped it — and n_unique is
+    a lower bound that still exceeds table_size (shard-local overflow is
+    additionally propagated by raising it past table_size), so callers'
+    overflow surfacing fires identically; only the exact unclipped value is
+    unknowable from truncated shard tables. Work: one O(S*T log(S*T)) sort —
+    tiny next to the per-shard O(N/S log N/S) corpus sorts it parallelises.
+    """
+    khi, klo = keys[:, 0], keys[:, 1]
+    khi, klo, cnt = jax.lax.sort((khi, klo, counts), num_keys=2)
+    m = khi.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    sent = PKEY_SENT
+    bnd = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])])
+    head = bnd & (khi != sent)
+    # Per-run count = csum at the position before the next boundary minus
+    # csum before the run head (counts are per-shard partial sums now, not
+    # all-ones, so boundary position differences don't apply).
+    csum = jnp.cumsum(cnt.astype(jnp.int32))
+    nbp = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(jnp.where(bnd, idx, m))))
+    nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), m, jnp.int32)])
+    run_sum = (csum[jnp.minimum(nbp_excl - 1, m - 1)]
+               - jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0))
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    slot = jnp.where(head & (seg < table_size), seg, table_size)
+    hp = jnp.full((table_size + 1,), m, jnp.int32).at[slot].set(idx)
+    hp_t = hp[:table_size]
+    ok = hp_t < m
+    hp_c = jnp.minimum(hp_t, m - 1)
+    keys_out = jnp.stack([jnp.where(ok, khi[hp_c], sent),
+                          jnp.where(ok, klo[hp_c], sent)], axis=-1)
+    counts_out = jnp.where(ok, run_sum[hp_c], 0).astype(jnp.int32)
+    n_unique = jnp.sum(head.astype(jnp.int32))
+    # Propagate shard-local overflow (dropped pairs) as global overflow.
+    overflow = jnp.any(n_uniques > table_size)
+    n_unique = jnp.where(overflow,
+                         jnp.maximum(n_unique, table_size + 1), n_unique)
+    max_count = jnp.max(counts_out)
+    return (keys_out, counts_out, n_unique, max_count)
+
+
 def lookup_pair_counts(q_hi: jax.Array, q_lo: jax.Array,
                        table_keys: jax.Array,
                        table_counts: jax.Array) -> jax.Array:

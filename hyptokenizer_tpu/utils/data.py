@@ -274,3 +274,51 @@ def initialize_embeddings(n: int, dim: int, curvature: float = 1.0,
     pts = L.random_points(jax.random.PRNGKey(seed), n, dim, c=curvature,
                           sigma=sigma)
     return np.asarray(pts)
+
+
+def shard_align_corpus(arr: np.ndarray, n_shards: int, pad_id: int = -1,
+                       sep_id: int = -2) -> np.ndarray:
+    """Repack an encoded corpus so every 1/n_shards boundary lands on PAD/SEP.
+
+    Corpus-dimension sharding (parallel/sharded.sync_corpus_sharded) computes
+    pair counts per shard independently; a document straddling a shard
+    boundary would lose its boundary pair. This host-side post-pass packs the
+    SEP-delimited segments greedily into ``n_shards`` equal buckets (order
+    preserved; a segment that exceeds the remaining bucket capacity is cut at
+    the boundary, costing at most one adjacent pair — the same cost the flat
+    encoder's ``max_tokens`` truncation already pays at the corpus tail).
+    Aligned for every divisor of ``n_shards``, so one layout serves meshes of
+    1..n_shards devices. No-op for n_shards <= 1.
+    """
+    n = arr.shape[0]
+    if n_shards <= 1 or n % n_shards != 0:
+        return arr
+    cap = n // n_shards
+    ids = arr[arr != pad_id]  # PAD appears only as filler, never in-segment
+    used = ids.shape[0]
+    out = np.full((n,), pad_id, np.int32)
+    # Segment boundaries: SEP terminates a segment (SEP belongs to it).
+    sep_pos = np.flatnonzero(ids == sep_id)
+    starts = np.concatenate([[0], sep_pos + 1])
+    ends = np.concatenate([sep_pos + 1, [used]])
+    bucket = 0
+    fill = 0
+    for s, e in zip(starts, ends):
+        if s >= e:
+            continue
+        seg = ids[s:e]
+        while seg.shape[0] > 0:
+            room = cap - fill
+            # Whole segments move to the next bucket rather than being cut;
+            # only segments longer than a full bucket are ever split.
+            if room == 0 or (seg.shape[0] > room and seg.shape[0] <= cap):
+                bucket += 1
+                fill = 0
+                if bucket >= n_shards:
+                    return out
+                continue
+            take = min(room, seg.shape[0])
+            out[bucket * cap + fill:bucket * cap + fill + take] = seg[:take]
+            fill += take
+            seg = seg[take:]
+    return out

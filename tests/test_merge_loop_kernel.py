@@ -59,7 +59,12 @@ def test_matches_xla_above_clamp_floor():
     ma = np.asarray(a.merges[:comparable])
     mb = np.asarray(b.merges[:comparable])
     np.testing.assert_array_equal(ma, mb)
-    np.testing.assert_allclose(da[:comparable], db[:comparable], atol=1e-4)
+    # acosh amplifies gram rounding by 1/d near the clamp floor
+    # (d = acosh(1+e) ~ sqrt(2e), so a gram ulp delta ~1e-6 moves d by
+    # ~1e-6/d): tolerate that, not a flat atol.
+    tol = 1e-4 + 4e-6 / np.maximum(da[:comparable], 1e-5)
+    assert np.all(np.abs(da[:comparable] - db[:comparable]) <= tol), (
+        da[:comparable], db[:comparable])
 
     # Embeddings of the matching prefix tokens agree (n0 = 40 initial).
     v_cmp = 40 + comparable

@@ -175,3 +175,68 @@ def test_embed_train_sharded_matches_single():
     # Result is on the manifold.
     dots = np.asarray(L.minkowski_dot(e2, e2))
     np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+
+def test_enhanced_sharded_sync_corpus_sharded_path():
+    """corpus_shards=8 tokenizers take the per-shard sync (shard_map replay +
+    pair counting, replicated combine) and still produce BIT-IDENTICAL merge
+    sequences vs the single-device replicated sync."""
+    from hyptokenizer_tpu.parallel import sharded as Sh
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc", "bcd ab fg hh"] * 8
+
+    def build_tok(shards):
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {ch for l in corpus for ch in l})
+        emb = L.random_points(jax.random.PRNGKey(5), len(vocab), 8, sigma=0.6)
+        return EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=3.0, max_vocab_size=64,
+            search_block=16, corpus_sample=corpus, corpus_max_tokens=512,
+            corpus_shards=shards, use_hierarchical=False,
+            use_adaptive_curvature=False, seed=3)
+
+    t1 = build_tok(8)
+    assert Sh._corpus_shard_aligned(t1.enh_state, 8)
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 12)
+
+    t2 = build_tok(8)
+    mesh = make_mesh()
+    s2 = Sh.run_enhanced_sharded(t2.enh_state, t2.enh_config, 12, mesh)
+
+    assert int(s1.base.num_merges) == int(s2.base.num_merges)
+    n = int(s1.base.num_merges)
+    assert n > 2
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
+    # Chained second chunk: the sharded-sync state re-syncs correctly and
+    # alignment survives per-shard compaction.
+    s1b = E.run_enhanced(s1, t1.enh_config, 8)
+    s2b = Sh.run_enhanced_sharded(s2, t2.enh_config, 8, mesh)
+    nb = int(s1b.base.num_merges)
+    assert nb == int(s2b.base.num_merges) and nb > n
+    np.testing.assert_array_equal(np.asarray(s1b.base.merges[:nb]),
+                                  np.asarray(s2b.base.merges[:nb]))
+
+
+def test_unaligned_corpus_falls_back_to_replicated_sync():
+    """corpus_shards=1 (unaligned) tokenizers still work on a mesh via the
+    replicated sync fallback."""
+    from hyptokenizer_tpu.parallel import sharded as Sh
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+
+    # 20-token lines: 256/8 = 32-boundaries fall mid-line
+    corpus = ["abc abd abe fgh pqr", "cde cdf fgh abc klm"] * 6
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+        {ch for l in corpus for ch in l})
+    emb = L.random_points(jax.random.PRNGKey(5), len(vocab), 8, sigma=0.6)
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb, merge_threshold=3.0, max_vocab_size=64,
+        search_block=16, corpus_sample=corpus, corpus_max_tokens=256,
+        use_hierarchical=False, use_adaptive_curvature=False, seed=3)
+    # corpus_shards=1: 256/8-boundaries fall mid-document
+    assert not Sh._corpus_shard_aligned(tok.enh_state, 8)
+    mesh = make_mesh()
+    out = Sh.run_enhanced_sharded(tok.enh_state, tok.enh_config, 6, mesh)
+    assert int(out.base.num_merges) > 0

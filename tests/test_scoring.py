@@ -398,3 +398,31 @@ def test_fast_corpus_encoder_matches_python_oracle():
     a = encode_corpus_chars(["ab ab"], vocab, 16, pre_split=r"[a-z]+")
     b = encode_corpus_chars_py(["ab ab"], vocab, 16, pre_split=r"[a-z]+")
     np.testing.assert_array_equal(a, b)
+
+
+def test_merge_pair_tables_matches_full_build():
+    """Sharded pair counting (per-shard build_pair_table + merge_pair_tables)
+    is count-exact with the full-corpus build when the table fits, and
+    signals overflow identically when it doesn't."""
+    rng = np.random.default_rng(7)
+    c = rng.integers(0, 12, 4096).astype(np.int32)  # 144 distinct pairs max
+    c[rng.integers(0, 4096, 150)] = S.SEP_ID
+    for k in range(1, 4):
+        c[k * 1024 - 1] = S.SEP_ID  # aligned shard boundaries
+    for t_size in (256, 64):  # fits / overflows (at 64 < pair diversity)
+        full = S.build_pair_table(jnp.asarray(c), t_size)
+        shards = [S.build_pair_table(jnp.asarray(c[k * 1024:(k + 1) * 1024]),
+                                     t_size) for k in range(4)]
+        merged = S.merge_pair_tables(
+            jnp.concatenate([s[0] for s in shards]),
+            jnp.concatenate([s[1] for s in shards]),
+            jnp.stack([s[2] for s in shards]), t_size)
+        np.testing.assert_array_equal(np.asarray(full[0]),
+                                      np.asarray(merged[0]))  # keys
+        np.testing.assert_array_equal(np.asarray(full[1]),
+                                      np.asarray(merged[1]))  # counts
+        assert int(full[3]) == int(merged[3])                 # max_count
+        if int(full[2]) <= t_size:
+            assert int(full[2]) == int(merged[2])
+        else:  # overflow: exact value unknowable, signal must still fire
+            assert int(merged[2]) > t_size
