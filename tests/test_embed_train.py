@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hyptokenizer_tpu.ops import lorentz as L
+from hyptokenizer_tpu.tokenizer import embed_train as ET
 from hyptokenizer_tpu.tokenizer.embed_train import train_embeddings
 from hyptokenizer_tpu.utils import data
 
@@ -47,3 +48,49 @@ def test_encode_corpus_chars():
     arr = data.encode_corpus_chars(["ab", "ba"], ["a", "b"], max_tokens=8,
                                    unk_id=99)
     np.testing.assert_array_equal(arr, [0, 1, -2, 1, 0, -2, -1, -1])
+
+
+def test_train_embeddings_pairs_pulls_positives_close():
+    emb = L.random_points(jax.random.PRNGKey(0), 32, 8, sigma=0.3)
+    pairs = jnp.asarray([[0, 1], [2, 3], [4, 5]], jnp.int32)
+    w = jnp.ones((3,), jnp.float32)
+    pool = jnp.arange(32, dtype=jnp.int32)
+    out, losses = ET.train_embeddings_pairs(
+        emb, pairs, w, pool, jax.random.PRNGKey(1), steps=300, batch=64,
+        negatives=5, lr=0.1)
+    assert float(losses[-1]) < float(losses[0])
+    for u, v in [(0, 1), (2, 3), (4, 5)]:
+        assert float(L.distance(out[u], out[v])) < \
+            float(L.distance(emb[u], emb[v]))
+    # still on the manifold
+    dots = np.asarray(jnp.abs(
+        jnp.einsum("ni,ni->n", out * jnp.asarray(
+            [1.0] + [-1.0] * 8), out) - 1.0))
+    assert dots.max() < 1e-4
+
+
+def test_train_embeddings_ordinal_orders_distances():
+    """After ordinal training, pairs with smaller targets sit closer."""
+    emb = L.random_points(jax.random.PRNGKey(2), 16, 8, sigma=0.3)
+    pairs = jnp.asarray([[0, 1], [0, 2], [0, 3]], jnp.int32)
+    targets = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    out, losses = ET.train_embeddings_ordinal(
+        emb, pairs, targets, jax.random.PRNGKey(3), steps=400, batch=64,
+        lr=0.2)
+    d = [float(L.distance(out[0], out[k])) for k in (1, 2, 3)]
+    assert d[0] < d[1] < d[2], d
+    assert float(losses[-1]) < float(losses[0])
+
+
+def test_merge_tree_pairs_structure():
+    hist = [(4, 5), (6, 4 + 2)]  # n_init=4+... ids: merge0 -> 6? use n_init=4
+    # n_init = 6: merge 0 creates id 6 from (4, 5); merge 1 creates 7 from
+    # (6, 6's sibling 4+2=6?) — keep it simple and valid:
+    hist = [(4, 5), (6, 3)]
+    pairs, w = ET.merge_tree_pairs(hist, n_init=6, max_vocab=16)
+    assert pairs.shape == (4, 2)
+    # children of merge 0 point at parent 6; merge 1's at 7
+    assert (pairs[0].tolist(), pairs[1].tolist()) == ([4, 6], [5, 6])
+    assert (pairs[2].tolist(), pairs[3].tolist()) == ([6, 7], [3, 7])
+    # depth weighting: merge 1's parent is deeper -> smaller weight
+    assert w[2] < w[0]

@@ -1,10 +1,17 @@
-"""Amdahl decomposition of the enhanced chunk: replicated sync_corpus vs
-shardable merge loop (VERDICT r2 #5).
+"""Amdahl decomposition of the enhanced chunk cycle (VERDICT r2 #5).
 
-On this 2-vCPU host a virtual 8-device mesh timeshares 2 cores, so the
-bench_scaling curve measures collective/dispatch overhead, not scaling. This
-script instead measures the serial (replicated) fraction f of a chunk cycle
-at devices=1; the multi-chip efficiency ceiling is 1 / (f + (1-f)/N).
+On this 2-vCPU host a virtual 8-device mesh timeshares 2 cores, so
+bench_scaling's multi-device wall-times measure dispatch/collective overhead,
+not scaling. This script instead measures the pieces directly at 1 device:
+
+  * t_local(N):   merge replay + pair-table build on an N-token corpus
+                  (per-shard work under sync_corpus_sharded — scales 1/D)
+  * t_combine:    merge_pair_tables + scoring/queue tail (replicated)
+  * t_loop:       the merge while-loop itself (row-sharded — scales ~1/D)
+
+and projects the multi-chip efficiency ceiling 1/(f + (1-f)/D) for the OLD
+replicated sync (f = (t_local(N)+t_combine)/cycle) vs the NEW sharded sync
+(f = t_combine/cycle).
 """
 import os
 import sys
@@ -23,7 +30,10 @@ from hyptokenizer_tpu.ops import lorentz as L
 from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
 from hyptokenizer_tpu.tokenizer import enhanced_state as E
 from hyptokenizer_tpu.tokenizer import normalize as N
+from hyptokenizer_tpu.tokenizer import scoring
 from hyptokenizer_tpu.tokenizer.normalize import NormalizerConfig
+
+CORPUS_N = 65_536
 
 path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "data", "wiki_corpus.txt.bz2")
@@ -35,54 +45,72 @@ emb = L.random_points(jax.random.PRNGKey(0), len(vocab), 100, sigma=0.5)
 tok = EnhancedHyperbolicTokenizer(
     vocab, emb, max_vocab_size=8192, merge_threshold=100.0,
     alpha=0.05, beta=0.9, gamma=0.05, min_pair_freq=1, merge_batch=16,
-    use_dense_channel=False, corpus_sample=lines, corpus_max_tokens=65_536,
+    use_dense_channel=False, corpus_sample=lines,
+    corpus_max_tokens=CORPUS_N, corpus_shards=8,
     normalizer=NormalizerConfig(pre_split=N.WORDS_WITH_SPACE),
     merge_policy="priority", seed=0)
 
 st = jax.tree.map(jnp.array, tok.enh_state)
 cfg = tok.enh_config
-
-sync_jit = jax.jit(E.sync_corpus, static_argnames=("config",))
-
-
-def run_loop_only(st, n):
-    start = st.base.num_merges
-    start_step = st.base.step
-    cap = n + 1024
-
-    def cond(s):
-        return ((~s.base.stopped) & (~s.needs_resync)
-                & (s.base.num_merges - start < n)
-                & (s.base.step - start_step < cap))
-
-    return jax.lax.while_loop(cond, lambda s: E.enhanced_step(s, cfg), st)
+T = cfg.freq_table_size
 
 
-loop_jit = jax.jit(run_loop_only, static_argnames=("n",))
-
-# Warmup/compile both pieces.
-st1 = sync_jit(st, cfg)
-jax.block_until_ready(st1.pair_counts)
-st2 = loop_jit(st1, 256)
-jax.block_until_ready(st2.base.num_merges)
-
-t_sync, t_loop, merges = 0.0, 0.0, 0
-stc = st2
-for _ in range(8):
+def timeit(fn, *a, reps=8):
+    out = fn(*a)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    stc = sync_jit(stc, cfg)
-    jax.block_until_ready(stc.pair_counts)
-    t_sync += time.perf_counter() - t0
-    m0 = int(stc.base.num_merges)
-    t0 = time.perf_counter()
-    stc = loop_jit(stc, 256)
-    jax.block_until_ready(stc.base.num_merges)
-    t_loop += time.perf_counter() - t0
-    merges += int(stc.base.num_merges) - m0
+    for _ in range(reps):
+        out = fn(*a)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
 
-f = t_sync / (t_sync + t_loop)
-print(f"merges={merges} t_sync={t_sync:.2f}s t_loop={t_loop:.2f}s "
-      f"replicated_fraction={f:.3f}")
-for n in (2, 4, 8, 64):
-    print(f"  efficiency ceiling at N={n}: {1.0 / (f + (1 - f) / n) / n:.2f} "
-          f"(speedup {1.0 / (f + (1 - f) / n):.1f}x)")
+
+replay = scoring.batch_rank_replay
+
+
+@jax.jit
+def local_part(corpus):
+    c = replay(corpus, st.base.merges, st.corpus_synced,
+               st.base.num_merges - st.corpus_synced, cfg.n_init)
+    return c, scoring.build_pair_table(c, T)
+
+
+@jax.jit
+def tail_part(st, corpus, keys, counts, nu, mx):
+    keys, counts, n_unique, max_count = scoring.merge_pair_tables(
+        keys, counts, nu, T)
+    return E._sync_finish(st, cfg, corpus, keys, counts, n_unique, max_count)
+
+
+# t_local at full N (old replicated sync does this on EVERY device) and at
+# N/8 (per-shard work under the sharded sync).
+t_local_full, (c_full, tbl_full) = timeit(local_part, st.corpus)
+t_local_8th, (c8, tbl8) = timeit(local_part, st.corpus[:CORPUS_N // 8])
+
+# Combine + tail on 8 shard tables (content: replicate the 1/8 table).
+keys8 = jnp.concatenate([tbl8[0]] * 8)
+cnts8 = jnp.concatenate([tbl8[1]] * 8)
+nus8 = jnp.stack([tbl8[2]] * 8)
+t_tail, st_synced = timeit(tail_part, st, c_full, keys8, cnts8, nus8,
+                           jnp.stack([tbl8[3]] * 8))
+
+# Merge loop (256 merges) from a synced state.
+from hyptokenizer_tpu.parallel.sharded import _enhanced_loop_jit
+
+t_loop, _ = timeit(
+    lambda s: _enhanced_loop_jit(jax.tree.map(jnp.array, s), cfg, 256),
+    st_synced, reps=4)
+
+cycle_old = t_local_full + t_tail + t_loop
+f_old = (t_local_full + t_tail) / cycle_old
+print(f"t_local(full N={CORPUS_N}) = {t_local_full*1e3:.1f} ms")
+print(f"t_local(N/8)              = {t_local_8th*1e3:.1f} ms")
+print(f"t_combine+tail (replicated) = {t_tail*1e3:.1f} ms")
+print(f"t_loop (256 merges, row-sharded) = {t_loop*1e3:.1f} ms")
+print(f"old replicated sync: serial fraction f = {f_old:.3f}")
+for d in (2, 4, 8, 64):
+    eff_old = 1.0 / (f_old + (1 - f_old) / d) / d
+    # new: local scales 1/D (measured at 1/8 for d=8), tail replicated
+    t_cycle_new = t_local_full / d + t_tail + t_loop / d
+    eff_new = cycle_old / (d * t_cycle_new)
+    print(f"  D={d}: efficiency ceiling old={eff_old:.2f} new={eff_new:.2f}")
