@@ -15,6 +15,40 @@ def setup_logging(verbose: bool = True) -> None:
         level=logging.INFO if verbose else logging.WARNING,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
     )
+    enable_compile_cache()
+
+
+def enable_compile_cache() -> None:
+    """Point every CLI at the persistent XLA compile cache.
+
+    The enhanced pipeline's jit compiles dominate cold-start wall time (the
+    sync jit alone measured ~460 s on TPU — tools/profile_tpu_chunks.py);
+    the persistent cache works through the TPU tunnel (2nd process 0.42 s vs
+    1.59 s cold, probed) and makes reruns start in seconds. Keyed by host
+    CPU flags: this container live-migrates between hosts and a stale
+    XLA:CPU AOT entry SIGSEGVs on a feature-poorer host (tests/conftest.py).
+    Opt out with HYP_NO_COMPILE_CACHE=1 (or by pre-setting
+    JAX_COMPILATION_CACHE_DIR).
+    """
+    import os
+
+    if os.environ.get("HYP_NO_COMPILE_CACHE"):
+        return
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        import hashlib
+        tag = "nofeat"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        tag = hashlib.md5(line.encode()).hexdigest()[:10]
+                        break
+        except OSError:
+            pass
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_cache_tpu_{tag}"
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def set_seeds(seed: int = 42) -> None:

@@ -17,7 +17,7 @@ from hyptokenizer_tpu.cli._common import set_seeds, setup_logging
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--method", default="hyperbolic",
-                   choices=["hyperbolic", "bpe", "wordpiece", "unigram",
+                   choices=["hyperbolic", "bpe", "bytelevel", "wordpiece", "unigram",
                             "char", "sentencepiece"])
     p.add_argument("--model-path", required=True,
                    help="tokenizer dir (hyperbolic) or tokenizer.json")

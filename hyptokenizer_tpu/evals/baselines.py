@@ -47,6 +47,29 @@ def train_bpe(files: List[str], vocab_size: int):
     return tok
 
 
+def train_bytelevel_bpe(files: List[str], vocab_size: int):
+    """GPT-2-style byte-level BPE: LOSSLESS (spaces survive as U+0120-marked
+    bytes; decode reconstructs the text exactly). The fair Rust-library
+    baseline for the framework's lossless tokenizers — the Whitespace
+    pre-tokenizer variant above DROPS spaces (18% of corpus chars) and its
+    decode cannot reconstruct the input.
+    """
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, \
+        trainers
+    from tokenizers import decoders
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.normalizer = normalizers.Sequence([
+        normalizers.NFD(), normalizers.Lowercase(), normalizers.StripAccents()])
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size, special_tokens=SPECIALS,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train(files, trainer)
+    _add_template(tok)
+    return tok
+
+
 def train_wordpiece(files: List[str], vocab_size: int):
     from tokenizers import models, trainers
     tok = _base_tokenizer(models.WordPiece(unk_token="[UNK]"))
@@ -90,6 +113,7 @@ def train_char_level(files: List[str], vocab_size: int = 0):
 
 TRAINERS = {
     "bpe": train_bpe,
+    "bytelevel": train_bytelevel_bpe,
     "wordpiece": train_wordpiece,
     "unigram": train_unigram,
     "char": train_char_level,

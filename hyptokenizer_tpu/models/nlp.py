@@ -45,7 +45,7 @@ class TokenizerAdapter:
             # Gated external baseline (reference train_nlp_tasks.py:82-84).
             from hyptokenizer_tpu.evals.baselines import SentencePieceWrapper
             self.sp = SentencePieceWrapper(model_path)
-        elif method in ("bpe", "wordpiece", "unigram", "char"):
+        elif method in ("bpe", "bytelevel", "wordpiece", "unigram", "char"):
             from tokenizers import Tokenizer
             self.hf = Tokenizer.from_file(model_path)
         else:

@@ -128,7 +128,7 @@ def _membership_sort_join(keys: jax.Array, table: jax.Array,
     # overflows for matchable entries (sentinel rows are masked out).
     tbl_mark = jnp.where((stag == 0) & (sk != sent), sk + jnp.int32(1),
                          jnp.int32(0))
-    last_tbl = jax.lax.associative_scan(jnp.maximum, tbl_mark)
+    last_tbl = jax.lax.cummax(tbl_mark, axis=0)
     member = (stag == 1) & (last_tbl == sk + jnp.int32(1)) & (sk != sent)
     # Each query slot is written exactly once (spos is unique over queries);
     # table entries all land in dropped slot q.
@@ -209,7 +209,7 @@ def _pair_membership_sort_join(q_hi, q_lo, t_hi, t_lo, table_size):
     sh, sl, stag, spos = jax.lax.sort((allh, alll, tag, opos), num_keys=3)
     idx = jnp.arange(q + mt, dtype=jnp.int32)
     tbl_mark = jnp.where((stag == 0) & (sh != PKEY_SENT), idx, jnp.int32(-1))
-    last_tbl = jax.lax.associative_scan(jnp.maximum, tbl_mark)
+    last_tbl = jax.lax.cummax(tbl_mark, axis=0)
     lt = jnp.maximum(last_tbl, 0)
     member = ((stag == 1) & (last_tbl >= 0)
               & (sh[lt] == sh) & (sl[lt] == sl) & (sh != PKEY_SENT))
@@ -247,7 +247,7 @@ def apply_merge_to_corpus(corpus: jax.Array, i: jax.Array, j: jax.Array,
     run_start = m & ~prev_m
     idx = jnp.arange(n, dtype=jnp.int32)
     start_idx = jnp.where(run_start, idx, jnp.int32(-1))
-    last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+    last_start = jax.lax.cummax(start_idx, axis=0)
     applied = m & (((idx - last_start) % 2) == 0)
     applied_prev = jnp.roll(applied, 1).at[0].set(False)
     out = jnp.where(applied, new_id, corpus)
@@ -397,7 +397,7 @@ def batch_fixpoint_replay(corpus: jax.Array, merges: jax.Array,
         run_start = m & ~prev_m
         idx = jnp.arange(n, dtype=jnp.int32)
         start_idx = jnp.where(run_start, idx, jnp.int32(-1))
-        last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+        last_start = jax.lax.cummax(start_idx, axis=0)
         applied = m & (((idx - last_start) % 2) == 0)
         applied_prev = jnp.roll(applied, 1).at[0].set(False)
         out = jnp.where(applied, mid, c)
@@ -464,7 +464,7 @@ def batch_rank_replay(corpus: jax.Array, merges: jax.Array,
             prev_c = jnp.roll(cand, 1).at[0].set(False)
             run_start = cand & ~prev_c
             start_idx = jnp.where(run_start, idx, jnp.int32(-1))
-            last_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+            last_start = jax.lax.cummax(start_idx, axis=0)
             take = cand & (((idx - last_start) % 2) == 0)
             sel = sel | take
             near = take | jnp.roll(take, 1).at[0].set(False) \
@@ -528,8 +528,8 @@ def build_pair_table(corpus: jax.Array, table_size: int):
     # scan + tiny gathers) rather than a second N-element scatter-add: a
     # random scatter serializes on TPU (~9 ns/element — 18 ms at N=2M),
     # while the scan is a vector op.
-    nbp = jnp.flip(jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(jnp.where(bnd, idx, n))))  # next bnd at/after i
+    nbp = jax.lax.cummin(jnp.where(bnd, idx, n), axis=0,
+                           reverse=True)  # next bnd at/after i
     nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), n, jnp.int32)])
     # One scatter: head element index per table slot (drop overflow/non-head).
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
@@ -580,8 +580,8 @@ def merge_pair_tables(keys: jax.Array, counts: jax.Array,
     # csum before the run head (counts are per-shard partial sums now, not
     # all-ones, so boundary position differences don't apply).
     csum = jnp.cumsum(cnt.astype(jnp.int32))
-    nbp = jnp.flip(jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(jnp.where(bnd, idx, m))))
+    nbp = jax.lax.cummin(jnp.where(bnd, idx, m), axis=0,
+                           reverse=True)
     nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), m, jnp.int32)])
     run_sum = (csum[jnp.minimum(nbp_excl - 1, m - 1)]
                - jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0))
