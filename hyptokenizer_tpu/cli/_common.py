@@ -72,6 +72,13 @@ def add_common_tokenizer_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--target-vocab-size", type=int, default=None)
     p.add_argument("--steps", type=int, default=10_000)
     p.add_argument("--log-every", type=int, default=1000)
+    p.add_argument("--sync-every", type=int, default=None,
+                   help="enhanced tokenizers: max merges applied against one "
+                        "pair-count snapshot (default: log-every). Fresher "
+                        "counts allocate the vocab budget better — "
+                        "sync-every 64 improved val tokens/char 0.2485 -> "
+                        "0.2404 at 8k vocab on wiki (RESULTS.md) — at the "
+                        "cost of more sync dispatches")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--init-sigma", type=float, default=0.01)
     p.add_argument("--embed-steps", type=int, default=0,

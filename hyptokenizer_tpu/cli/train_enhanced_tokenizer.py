@@ -137,6 +137,7 @@ def main(argv=None):
     with profile_ctx:
         tok.optimize_merges(
             steps=args.steps, log_every=args.log_every,
+            sync_every=getattr(args, "sync_every", None),
             target_vocab_size=args.target_vocab_size,
             phase_transition_steps={2: args.phase2_step, 3: args.phase3_step},
         )
