@@ -83,7 +83,12 @@ class HyperbolicTokenizer:
         self.training_summary: Optional[Dict] = None
         self._encoder: Optional[Encoder] = None
 
-        emb0 = jnp.asarray(np.asarray(embeddings), jnp.float32)
+        # Avoid a device->host pull when embeddings are already on device
+        # (~29 s per pull on the remote-tunnel transport; see init_state).
+        if isinstance(embeddings, jax.Array):
+            emb0 = embeddings.astype(jnp.float32)
+        else:
+            emb0 = jnp.asarray(np.asarray(embeddings), jnp.float32)
         if emb0.ndim != 2 or emb0.shape[0] != len(vocab):
             raise ValueError(f"embeddings shape {emb0.shape} != (len(vocab), d+1)")
         lengths0 = jnp.asarray([len(t) for t in self.vocab], jnp.int32)

@@ -109,9 +109,17 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     if n0 > max_v:
         raise ValueError(f"initial vocab {n0} exceeds max_vocab_size {max_v}")
 
+    # jnp.asarray on an existing jax.Array is a device-side cast; routing it
+    # through np.asarray would be a device->host round-trip, which costs
+    # ~29 s PER PULL on the remote-tunnel TPU transport (profiled: 86 s of
+    # the flagship bench ctor). Only non-jax inputs go through numpy.
+    def _dev(x, dt):
+        if isinstance(x, jax.Array):
+            return x.astype(dt)
+        return jnp.asarray(np.asarray(x), dt)
+
     emb, lengths, merges, merge_dists = _assemble_buffers(
-        jnp.asarray(np.asarray(emb0, np.float32)),
-        jnp.asarray(np.asarray(lengths0, np.int32)), max_v)
+        _dev(emb0, jnp.float32), _dev(lengths0, jnp.int32), max_v)
     vocab_size = jnp.asarray(n0, jnp.int32)
     num_merges = jnp.asarray(0, jnp.int32)
     c = jnp.asarray(curvature, jnp.float32)
