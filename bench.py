@@ -40,12 +40,21 @@ import time
 
 
 def _cpu_feature_tag() -> str:
+    # Model name + flags: XLA:CPU AOT entries bake in per-microarchitecture
+    # tuning pseudo-features (prefer-no-scatter/gather) that differ between
+    # CPU models with identical cpuinfo `flags` lines (observed after a
+    # live-migration mid-session: AOT loader warnings on same-flags hosts).
     import hashlib
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
+                if line.startswith(("flags", "model name")):
+                    parts.append(line)
+                    if len(parts) == 2:
+                        break
+        if parts:
+            return hashlib.md5("".join(sorted(parts)).encode()).hexdigest()[:10]
     except OSError:
         pass
     return "nofeat"

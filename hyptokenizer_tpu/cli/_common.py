@@ -38,11 +38,20 @@ def enable_compile_cache() -> None:
         import hashlib
         tag = "nofeat"
         try:
+            # Hash model name + flags: XLA:CPU AOT entries also bake in
+            # per-microarchitecture tuning pseudo-features
+            # (prefer-no-scatter/gather), which differ between CPU models
+            # whose cpuinfo `flags` lines are identical.
+            parts = []
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith("flags"):
-                        tag = hashlib.md5(line.encode()).hexdigest()[:10]
-                        break
+                    if line.startswith(("flags", "model name")):
+                        parts.append(line)
+                        if len(parts) == 2:
+                            break
+            if parts:
+                tag = hashlib.md5("".join(sorted(parts)).encode()) \
+                    .hexdigest()[:10]
         except OSError:
             pass
         os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_cache_tpu_{tag}"
