@@ -302,9 +302,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         ``sync_every`` caps the merges applied against one pair-count
         snapshot (defaults to ``log_every``). Stale in-chunk counts spend
         vocab slots on pairs whose frequency collapsed mid-chunk: on the
-        wiki corpus at 8k vocab, ``sync_every=64`` improves val tokens/char
-        from 0.2485 to 0.2404 vs 2048 (RESULTS.md). Lower = fresher = better
-        vocab allocation; higher = fewer syncs = faster wall-clock.
+        wiki corpus at 8k vocab, val tokens/char improves 0.2485 (2048) ->
+        0.2404 (64) -> 0.2388 (16), beating the lossless byte-level BPE
+        baseline's 0.2439 (RESULTS.md round-3 rematch). Lower = fresher =
+        better vocab allocation; higher = fewer syncs = faster wall-clock.
         """
         if corpus_sample:
             self.corpus_sample = corpus_sample
