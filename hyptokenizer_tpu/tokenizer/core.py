@@ -287,9 +287,9 @@ class HyperbolicTokenizer:
             with open(os.path.join(path, "training_summary.json"), "w") as f:
                 json.dump(self.training_summary, f)
 
-    @classmethod
-    def load(cls, path: str, device=None) -> "HyperbolicTokenizer":
-        """Load reference-schema artifacts (hyperbolic_merge.py:506-551)."""
+    @staticmethod
+    def _parse_artifacts(path: str):
+        """Read the base artifact set: (vocab, emb, merges, config)."""
         with open(os.path.join(path, "vocab.json")) as f:
             vocab = json.load(f)
         npy = os.path.join(path, "embeddings.npy")
@@ -303,25 +303,16 @@ class HyperbolicTokenizer:
             config = json.load(f)
         with open(os.path.join(path, "merges.json")) as f:
             merges = [tuple(m) for m in json.load(f)]
+        return vocab, emb, merges, config
 
-        # Reconstruct: the *initial* vocab is the prefix before merged tokens.
-        n_init = len(vocab) - len(merges)
-        tok = cls(
-            vocab=vocab[:n_init],
-            embeddings=emb[:n_init],
-            curvature=config["curvature"],
-            merge_threshold=config["merge_threshold"],
-            max_vocab_size=config.get("max_vocab_size", 100_000),
-            use_approximate_search=config.get("use_approximate_search", True),
-            normalizer=NormalizerConfig.from_json(config.get("normalizer")),
-            merge_policy=config.get("merge_policy", "fixpoint"),
-        )
-        # Replay merge history onto the host state; restore device arrays.
-        tok.vocab = list(vocab)
-        tok.merge_history = merges
+    def _restore_loaded_state(self, vocab, emb, merges) -> None:
+        """Restore device arrays from parsed artifacts onto a freshly
+        constructed tokenizer (built from the initial-vocab prefix)."""
+        self.vocab = list(vocab)
+        self.merge_history = list(merges)
         v = len(vocab)
         emb_full = jnp.asarray(emb, jnp.float32)
-        st = tok.state
+        st = self.state
         st = st.replace(
             emb=st.emb.at[:v].set(emb_full[:v]),
             lengths=st.lengths.at[:v].set(
@@ -342,8 +333,26 @@ class HyperbolicTokenizer:
         # Candidate arrays refreshed for potential continued training.
         bd, bj = search_lib.full_pass_best(
             st.emb, st.vocab_size, st.curvature, st.merges, st.num_merges,
-            block=tok.config.search_block)
-        tok.state = st.replace(best_dist=bd, best_j=bj)
+            block=self.config.search_block)
+        self.state = st.replace(best_dist=bd, best_j=bj)
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "HyperbolicTokenizer":
+        """Load reference-schema artifacts (hyperbolic_merge.py:506-551)."""
+        vocab, emb, merges, config = cls._parse_artifacts(path)
+        # Reconstruct: the *initial* vocab is the prefix before merged tokens.
+        n_init = len(vocab) - len(merges)
+        tok = cls(
+            vocab=vocab[:n_init],
+            embeddings=emb[:n_init],
+            curvature=config["curvature"],
+            merge_threshold=config["merge_threshold"],
+            max_vocab_size=config.get("max_vocab_size", 100_000),
+            use_approximate_search=config.get("use_approximate_search", True),
+            normalizer=NormalizerConfig.from_json(config.get("normalizer")),
+            merge_policy=config.get("merge_policy", "fixpoint"),
+        )
+        tok._restore_loaded_state(vocab, emb, merges)
         return tok
 
 

@@ -28,6 +28,7 @@ import numpy as np
 from hyptokenizer_tpu.tokenizer import enhanced_state as E
 from hyptokenizer_tpu.tokenizer import scoring
 from hyptokenizer_tpu.tokenizer.core import HyperbolicTokenizer
+from hyptokenizer_tpu.tokenizer.normalize import NormalizerConfig
 from hyptokenizer_tpu.tokenizer.state import MergeConfig
 from hyptokenizer_tpu.utils import morphology
 
@@ -40,6 +41,20 @@ DEFAULT_CORPUS_TOKENS = 1 << 21
 def _live_count(corpus):
     """Non-PAD prefix length of a (compacted) corpus buffer."""
     return jnp.sum(corpus != -1)
+
+
+def _token_features(tokens: Sequence[str]):
+    """Host-side (hash, byte length, vowel bit) arrays for a token list."""
+    n = len(tokens)
+    t_hash = np.zeros((n, 2), np.int32)
+    b_len = np.zeros((n,), np.int32)
+    vflag = np.zeros((n,), np.bool_)
+    for idx, tok in enumerate(tokens):
+        h1, h2 = scoring.hash_string(tok)
+        t_hash[idx] = (h1, h2)
+        b_len[idx] = len(tok.encode("utf-8"))
+        vflag[idx] = morphology.has_vowel(tok)
+    return t_hash, b_len, vflag
 
 
 class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
@@ -168,15 +183,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         # the constant-fill tables happen in one jitted device assembly
         # (avoids ~4 MB of host->device upload on a remote transport).
         max_v = self.max_vocab_size
-        n0 = len(self.vocab)
-        t_hash = np.zeros((n0, 2), np.int32)
-        b_len = np.zeros((n0,), np.int32)
-        vflag = np.zeros((n0,), np.bool_)
-        for idx, tok in enumerate(self.vocab):
-            h1, h2 = scoring.hash_string(tok)
-            t_hash[idx] = (h1, h2)
-            b_len[idx] = len(tok.encode("utf-8"))
-            vflag[idx] = morphology.has_vowel(tok)
+        t_hash, b_len, vflag = _token_features(self.vocab)
         (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, coh_samples,
          token_hash, byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
             jnp.asarray(t_hash), jnp.asarray(b_len), jnp.asarray(vflag),
@@ -309,6 +316,18 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         """
         if corpus_sample:
             self.corpus_sample = corpus_sample
+            if self.enh_config.frozen_freqs or not self.enh_config.has_corpus:
+                # Loaded-artifact tokenizer handed a live corpus: re-ground.
+                # The fresh char-level buffer replays the FULL merge history
+                # at the next sync (corpus_synced=0), then statistics go back
+                # to per-chunk freshness.
+                corpus_ids = self._encode_initial_corpus(
+                    corpus_sample, DEFAULT_CORPUS_TOKENS, self.corpus_shards)
+                self.enh_state = self.enh_state.replace(
+                    corpus=corpus_ids,
+                    corpus_synced=jnp.asarray(0, jnp.int32))
+                self.enh_config = self.enh_config.replace(
+                    has_corpus=True, frozen_freqs=False)
         if phase_transition_steps:
             self.enh_config = self.enh_config.replace(
                 phase2_step=phase_transition_steps.get(2, 1000),
@@ -464,6 +483,13 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             "current_phase": self.current_phase,
             "curvature": float(self.state.curvature),
             "language": self.language,
+            # TPU-build knobs (framework extensions; the reference loader
+            # reads only the keys it knows, so artifacts stay loadable there).
+            "merge_batch": cfg.merge_batch,
+            "min_pair_freq": cfg.min_pair_freq,
+            "use_dense_channel": cfg.use_dense_channel,
+            "freq_table_size": cfg.freq_table_size,
+            "queue_size": cfg.queue_size,
         }
         with open(os.path.join(path, "enhanced_config.json"), "w") as f:
             json.dump(enhanced_config, f)
@@ -487,6 +513,147 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                     np.asarray(self.state.curvature))
             np.save(os.path.join(path, "merge_pairs.npy"),
                     np.asarray(self.state.merges[: int(self.state.num_merges)]))
+
+    @classmethod
+    def load(cls, path: str, device=None) -> "EnhancedHyperbolicTokenizer":
+        """Reconstruct an enhanced tokenizer from artifacts.
+
+        Parity with the reference loader
+        (enhanced_fast_hyperbolic_merge.py:1300-1427): restores feature
+        flags, alpha/beta/gamma, trained curvature, phase, morphology common
+        sets, and pair frequencies, with the reference's legacy-config
+        fallback (a base ``config.json`` artifact loads with every enhanced
+        feature off). Restored frequencies enter the device pair table; with
+        no corpus to replay they stay frozen across continued training —
+        exactly the reference's behavior, which freezes its frequency dict
+        for a whole run (enhanced_…:266-290). Passing ``corpus_sample`` to
+        a later ``optimize_merges`` re-grounds on a live corpus instead.
+        """
+        vocab, emb, merges, config = cls._parse_artifacts(path)
+        epath = os.path.join(path, "enhanced_config.json")
+        if os.path.exists(epath):
+            with open(epath) as f:
+                ecfg = json.load(f)
+        else:
+            # Legacy fallback (reference load:1330-1340): base artifacts
+            # reconstruct with every enhanced feature disabled.
+            ecfg = {"use_frequency_aware": False, "use_hierarchical": False,
+                    "use_adaptive_curvature": False,
+                    "use_compression_aware": False}
+
+        n_init = len(vocab) - len(merges)
+        tok = cls(
+            vocab=vocab[:n_init],
+            embeddings=emb[:n_init],
+            curvature=float(ecfg.get("curvature",
+                                     config.get("curvature", 1.0))),
+            merge_threshold=config.get("merge_threshold", 0.1),
+            max_vocab_size=config.get("max_vocab_size", 100_000),
+            use_approximate_search=config.get("use_approximate_search", True),
+            use_frequency_aware=ecfg.get("use_frequency_aware", False),
+            use_hierarchical=ecfg.get("use_hierarchical", False),
+            use_adaptive_curvature=ecfg.get("use_adaptive_curvature", False),
+            use_compression_aware=ecfg.get("use_compression_aware", False),
+            alpha=ecfg.get("alpha", 0.4),
+            beta=ecfg.get("beta", 0.4),
+            gamma=ecfg.get("gamma", 0.2),
+            language=ecfg.get("language", "english"),
+            curvature_lr=ecfg.get("curvature_lr", 0.01),
+            hierarchy_weight=ecfg.get("hierarchy_weight", 1.0),
+            distortion_weight=ecfg.get("distortion_weight", 0.1),
+            optimize_curvature_freq=ecfg.get("optimize_curvature_freq", 100),
+            compression_weight=ecfg.get("compression_weight", 0.7),
+            merge_batch=ecfg.get("merge_batch", 8),
+            min_pair_freq=ecfg.get("min_pair_freq", 1),
+            use_dense_channel=ecfg.get("use_dense_channel", True),
+            freq_table_size=ecfg.get("freq_table_size", 1 << 17),
+            queue_size=ecfg.get("queue_size", 4096),
+            corpus_max_tokens=cls.MIN_CORPUS_BUFFER,  # no corpus on disk
+            normalizer=NormalizerConfig.from_json(config.get("normalizer")),
+            merge_policy=config.get("merge_policy", "fixpoint"),
+        )
+        tok._restore_loaded_state(vocab, emb, merges)
+        st = tok.enh_state.replace(base=tok.state)
+
+        # Token features must cover the FULL loaded vocab (the ctor computed
+        # only the initial prefix).
+        t_hash, b_len, vflag = _token_features(vocab)
+        v = len(vocab)
+        st = st.replace(
+            token_hash=st.token_hash.at[:v].set(jnp.asarray(t_hash)),
+            byte_lengths=st.byte_lengths.at[:v].set(jnp.asarray(b_len)),
+            has_vowel=st.has_vowel.at[:v].set(jnp.asarray(vflag)))
+
+        # Phase (hierarchical curriculum position).
+        tok.current_phase = int(ecfg.get("current_phase", 1))
+
+        # Trained curvature: the .npy device scalar wins over the json float.
+        cnpy = os.path.join(path, "curvature.npy")
+        if ecfg.get("use_adaptive_curvature") and os.path.exists(cnpy):
+            cval = float(np.load(cnpy))
+            tok.curvature = cval
+            st = st.replace(base=st.base.replace(
+                curvature=jnp.asarray(cval, jnp.float32)))
+
+        # Morphology: rebuild validity sets from the persisted common sets.
+        hpath = os.path.join(path, "hierarchical_data.json")
+        if ecfg.get("use_hierarchical") and os.path.exists(hpath):
+            with open(hpath) as f:
+                hd = json.load(f)
+            tok.morphology = morphology.from_common_sets(
+                hd.get("common_morphemes", []), hd.get("common_words", []))
+            mk, ms, wk, ws = tok.morphology.hash_tables()
+            st = st.replace(
+                morph_table=jnp.asarray(mk),
+                morph_size=jnp.asarray(ms, jnp.int32),
+                word_table=jnp.asarray(wk),
+                word_size=jnp.asarray(ws, jnp.int32))
+            tok.current_phase = int(hd.get("current_phase",
+                                           tok.current_phase))
+        st = st.replace(phase=jnp.asarray(tok.current_phase, jnp.int32))
+
+        # Pair frequencies -> device pair table (frozen: no corpus on disk).
+        fpath = os.path.join(path, "frequencies.json")
+        if ecfg.get("use_frequency_aware") and os.path.exists(fpath):
+            with open(fpath) as f:
+                freqs = json.load(f)
+            t2i: Dict[str, int] = {}
+            for i, t in enumerate(vocab):
+                t2i.setdefault(t, i)
+            entries = []
+            for key, count in freqs.items():
+                # Our artifacts separate with U+241F; the reference's with
+                # "|" (enhanced_…:1402 splits on it).
+                sep = "␟" if "␟" in key else "|"
+                parts = key.split(sep)
+                if len(parts) != 2:
+                    continue
+                a, b = parts
+                if a in t2i and b in t2i:
+                    entries.append((t2i[a], t2i[b], int(count)))
+            T = tok.enh_config.freq_table_size
+            n_unique = len(entries)
+            arr = np.asarray(sorted(entries)[:T], np.int32).reshape(-1, 3)
+            keys = np.full((T, 2), scoring.PKEY_SENT, np.int32)
+            counts = np.zeros((T,), np.int32)
+            keys[:len(arr)] = arr[:, :2]
+            counts[:len(arr)] = arr[:, 2]
+            st = st.replace(
+                pair_keys=jnp.asarray(keys),
+                pair_counts=jnp.asarray(counts),
+                max_pair_count=jnp.asarray(
+                    int(counts.max(initial=0)), jnp.int32),
+                pair_unique=jnp.asarray(n_unique, jnp.int32),
+                # Stand-in for the sync-time snapshot (compression ratio
+                # denominator): the adjacent-pair total is within one
+                # token-per-line of the live token count.
+                corpus_tokens=jnp.asarray(int(counts.sum()), jnp.int32),
+                corpus_synced=st.base.num_merges)
+            tok.enh_config = tok.enh_config.replace(
+                has_corpus=True, frozen_freqs=True)
+
+        tok.enh_state = st
+        return tok
 
 
 class FrequencyAwareHyperbolicTokenizer(EnhancedHyperbolicTokenizer):

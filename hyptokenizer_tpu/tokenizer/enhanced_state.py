@@ -126,6 +126,14 @@ class EnhancedConfig:
     hier_negatives: int = struct.field(pytree_node=False, default=10)
     distortion_samples: int = struct.field(pytree_node=False, default=500)
 
+    # Loaded-artifact mode (enhanced load() without a corpus): the pair table
+    # was restored from frequencies.json and there is no corpus to replay —
+    # sync keeps the restored counts frozen (exactly the reference's
+    # continued-training behavior: it freezes host-dict frequencies for a
+    # whole run, enhanced_…:266-290) while still rebuilding queue scores
+    # against the current embeddings/curvature each chunk.
+    frozen_freqs: bool = struct.field(pytree_node=False, default=False)
+
     freq_table_size: int = struct.field(pytree_node=False, default=1 << 17)
     # Sparse-channel candidate queue length per phase (top-k by score at each
     # sync). Large enough that a chunk rarely exhausts it; exhaustion is
@@ -588,6 +596,11 @@ def sync_corpus(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     if not config.needs_corpus:
         return st
     base = st.base
+    if config.frozen_freqs:
+        # No corpus to replay: keep the restored pair-count snapshot, refresh
+        # scores/queues against the current embeddings and curvature.
+        return _sync_finish(st, config, st.corpus, st.pair_keys,
+                            st.pair_counts, st.pair_unique, st.max_pair_count)
 
     # Batched replay of the un-synced merge rules (a few O(N) passes instead
     # of one per merge): encode()-semantics leftmost-match by default, or

@@ -102,6 +102,12 @@ def analyze_corpus(lines: Iterable[str], use_wordnet: bool = True,
         thr = np.percentile(list(word_counter.values()), 70)
         tables.common_words = {w for w, c in word_counter.items() if c >= thr}
 
+    return _finalize_tables(tables, use_wordnet, substring_word_threshold)
+
+
+def _finalize_tables(tables: MorphologyTables, use_wordnet: bool = True,
+                     substring_word_threshold: int = 5) -> MorphologyTables:
+    """Derive morph_set/word_set from the common sets (+ static lists)."""
     lemmas = _wordnet_lemmas() if use_wordnet else set()
 
     # Frequent-substring fallback (hierarchical_…:195-199): 2-5 char strings
@@ -122,6 +128,21 @@ def analyze_corpus(lines: Iterable[str], use_wordnet: bool = True,
                         | frequent_substrings)
     tables.word_set = tables.common_words | lemmas
     return tables
+
+
+def from_common_sets(common_morphemes: Iterable[str],
+                     common_words: Iterable[str],
+                     use_wordnet: bool = True) -> MorphologyTables:
+    """Rebuild full validity tables from persisted common sets.
+
+    The save artifact (``hierarchical_data.json``) stores only the corpus-
+    derived ``common_morphemes``/``common_words`` — the reference schema
+    (enhanced_fast_hyperbolic_merge.py:1285-1295). The derived sets (prefix/
+    suffix lists, lemmas, frequent substrings) are deterministic functions of
+    those, recomputed on load exactly as at analysis time."""
+    tables = MorphologyTables(common_morphemes=set(common_morphemes),
+                              common_words=set(common_words))
+    return _finalize_tables(tables, use_wordnet)
 
 
 def has_vowel(token: str) -> bool:

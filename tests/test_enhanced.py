@@ -355,3 +355,81 @@ def test_fused_compile_failure_is_loud_and_falls_back(monkeypatch, caplog):
     np.testing.assert_array_equal(np.asarray(st_fb.base.merges[:nf]),
                                   np.asarray(st_x.base.merges[:nx]))
     monkeypatch.setattr(E, "_FUSED_DISABLED", False)
+
+
+def test_enhanced_load_roundtrip(tmp_path):
+    """Enhanced load() parity (reference enhanced_…:1300-1427): feature
+    config, trained curvature, phase, morphology, and frequencies all
+    survive a save/load round-trip, and training can continue."""
+    tok = make_tok(EnhancedHyperbolicTokenizer, optimize_curvature_freq=10,
+                   alpha=0.3, beta=0.5, gamma=0.2, merge_batch=4)
+    tok.optimize_merges(steps=20, log_every=10,
+                        phase_transition_steps={2: 8, 3: 15})
+    p = str(tmp_path / "enh")
+    tok.save(p)
+
+    tok2 = EnhancedHyperbolicTokenizer.load(p)
+    # Feature config restored.
+    cfg, cfg2 = tok.enh_config, tok2.enh_config
+    assert (cfg2.use_frequency, cfg2.use_hierarchical,
+            cfg2.use_adaptive_curvature, cfg2.use_compression) == \
+           (cfg.use_frequency, cfg.use_hierarchical,
+            cfg.use_adaptive_curvature, cfg.use_compression)
+    assert (cfg2.alpha, cfg2.beta, cfg2.gamma) == (0.3, 0.5, 0.2)
+    assert cfg2.merge_batch == 4
+    # Trained curvature + phase restored.
+    assert float(tok2.state.curvature) == pytest.approx(
+        float(tok.state.curvature))
+    assert tok2.current_phase == tok.current_phase
+    assert int(tok2.enh_state.phase) == tok.current_phase
+    # Threshold is the final trained one, not the phase-1 reset.
+    assert float(tok2.state.threshold) == pytest.approx(
+        float(tok.state.threshold), rel=1e-5)
+    # Morphology validity sets rebuilt from the persisted common sets.
+    assert tok2.morphology.is_potential_morpheme("ing")
+    assert int(tok2.enh_state.morph_size) > 0
+    # Frequencies restored into the device pair table (frozen mode).
+    assert cfg2.frozen_freqs
+    f1, f2 = tok.pair_frequencies, tok2.pair_frequencies
+    shared = set(f1) & set(f2)
+    assert shared and all(f1[k] == f2[k] for k in shared)
+    # Vocab/merges/encode agree.
+    assert tok2.vocab == tok.vocab
+    assert tok2.merge_history == tok.merge_history
+    text = "the cat sat on the mat"
+    assert tok2.encode(text) == tok.encode(text)
+
+    # Continued training works from the loaded state (frozen frequencies).
+    n0 = len(tok2.merge_history)
+    tok2.optimize_merges(steps=6, log_every=6)
+    assert len(tok2.merge_history) > n0
+
+    # Re-grounding on a live corpus un-freezes the statistics.
+    tok3 = EnhancedHyperbolicTokenizer.load(p)
+    tok3.optimize_merges(steps=6, log_every=6, corpus_sample=CORPUS)
+    assert not tok3.enh_config.frozen_freqs
+    assert len(tok3.merge_history) > len(tok.merge_history)
+
+
+def test_enhanced_load_legacy_fallback(tmp_path):
+    """A base (non-enhanced) artifact loads with every feature off
+    (reference legacy-config fallback, enhanced_…:1330-1340)."""
+    from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
+    chars = sorted({ch for line in CORPUS for ch in line})
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + chars
+    emb = L.random_points(jax.random.PRNGKey(1), len(vocab), 8, sigma=0.6)
+    base = HyperbolicTokenizer(vocab, emb, merge_threshold=3.0,
+                               max_vocab_size=128, search_block=32)
+    base.optimize_merges(steps=5, log_every=5)
+    p = str(tmp_path / "base")
+    base.save(p)
+
+    tok = EnhancedHyperbolicTokenizer.load(p)
+    cfg = tok.enh_config
+    assert not (cfg.use_frequency or cfg.use_hierarchical
+                or cfg.use_adaptive_curvature or cfg.use_compression)
+    assert tok.vocab == base.vocab
+    text = "the cat sat"
+    assert tok.encode(text) == base.encode(text)
+    # Continued (dense-only) training works.
+    tok.optimize_merges(steps=3, log_every=3)
