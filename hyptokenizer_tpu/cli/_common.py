@@ -34,27 +34,16 @@ def enable_compile_cache() -> None:
 
     if os.environ.get("HYP_NO_COMPILE_CACHE"):
         return
+    from hyptokenizer_tpu import _cachetag
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-        import hashlib
-        tag = "nofeat"
-        try:
-            # Hash model name + flags: XLA:CPU AOT entries also bake in
-            # per-microarchitecture tuning pseudo-features
-            # (prefer-no-scatter/gather), which differ between CPU models
-            # whose cpuinfo `flags` lines are identical.
-            parts = []
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith(("flags", "model name")):
-                        parts.append(line)
-                        if len(parts) == 2:
-                            break
-            if parts:
-                tag = hashlib.md5("".join(sorted(parts)).encode()) \
-                    .hexdigest()[:10]
-        except OSError:
-            pass
-        os.environ["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_cache_tpu_{tag}"
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = \
+            _cachetag.cache_dir_for_host()
+    # Seed shipped TPU executables for the flagship shapes (no-op when
+    # absent or already seeded).
+    _cachetag.seed_cache(
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "..", "data", "tpu_compile_cache"))
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])

@@ -159,9 +159,8 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
             qi, qj, qd, qs, si, sf,
             vec, buf, sems,
             *, cfg, max_v, d1, n8, g, k_rows, table_size,
-            morph_rows, word_rows, pw_rows):
+            morph_rows, word_rows, pw_rows, n_steps):
     del emb_in  # aliased with emb
-    s = pl.program_id(0)
     nb = cfg["nb"]
     K = k_rows * LANES
     tile = g * LANES
@@ -169,36 +168,33 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
     lane = _lane_iota()
     alpha, beta, gamma, comp_w, morph_w = cfg["weights"]
 
-    @pl.when(s == 0)
-    def _():
-        bd[:] = bd_in[:]
-        bj[:] = bj_in[:]
-        ln[:] = ln_in[:]
-        bl[:] = bl_in[:]
-        vw[:] = vw_in[:]
-        h1[:] = h1_in[:]
-        h2[:] = h2_in[:]
-        mhi[:] = mhi_in[:]
-        mlo[:] = mlo_in[:]
-        md[:] = md_in[:]
-        qi[:] = qi_in[:]
-        qj[:] = qj_in[:]
-        qd[:] = qd_in[:]
-        qs[:] = qs_in[:]
-        for t in range(NSI):
-            si[t, 0] = si_in[t, 0]
-        for t in range(NSF):
-            sf[t, 0] = sf_in[t, 0]
+    # One copy-in; the whole segment of steps runs as an IN-KERNEL fori_loop
+    # over a single pallas invocation. The round-3 kernel made each step a
+    # GRID iteration, which re-staged every VMEM block per step: an empty
+    # (halted) grid step measured ~68 us, and with curvature events every
+    # 1000 merges ~90% of a 1024-step launch was halted staging (VERDICT r3
+    # #4). In-loop steps pay only their own work; a halted iteration is a
+    # handful of SMEM reads.
+    bd[:] = bd_in[:]
+    bj[:] = bj_in[:]
+    ln[:] = ln_in[:]
+    bl[:] = bl_in[:]
+    vw[:] = vw_in[:]
+    h1[:] = h1_in[:]
+    h2[:] = h2_in[:]
+    mhi[:] = mhi_in[:]
+    mlo[:] = mlo_in[:]
+    md[:] = md_in[:]
+    qi[:] = qi_in[:]
+    qj[:] = qj_in[:]
+    qd[:] = qd_in[:]
+    qs[:] = qs_in[:]
+    for t in range(NSI):
+        si[t, 0] = si_in[t, 0]
+    for t in range(NSF):
+        sf[t, 0] = sf_in[t, 0]
 
-    halt0 = (si[SI["halt"], 0] == 1) | (si[SI["stopped"], 0] == 1) \
-        | (si[SI["resync"], 0] == 1) \
-        | (si[SI["nm"], 0] >= si[SI["m_budget"], 0]) \
-        | (si[SI["step"], 0] >= si[SI["s_budget"], 0]) \
-        | (si[SI["nm"], 0] >= si[SI["curv_stop"], 0])
-    si[SI["halt"], 0] = halt0.astype(jnp.int32)
-
-    @pl.when(~halt0)
-    def _step():
+    def _one_step():
         nm0 = si[SI["nm"], 0]
         vocab0 = si[SI["vocab"], 0]
         c = sf[SF["c"], 0]
@@ -335,31 +331,27 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
             rank = (row_inc - vi + row_off).astype(jnp.int32)  # exclusive
             take = valid & (rank < nb)
             n_valid = jnp.sum(vi).astype(jnp.int32)
-
-            sp_i = []
-            sp_j = []
-            sp_d = []
-            sp_s = []
-            sp_ok = []
-            for t in range(nb):
-                m = take & (rank == t)
-                sp_i.append(jnp.sum(jnp.where(m, qip, 0)))
-                sp_j.append(jnp.sum(jnp.where(m, qjp, 0)))
-                sp_d.append(jnp.sum(jnp.where(m, qdp, 0.0)))
-                sp_s.append(jnp.sum(jnp.where(m, qsp, 0.0)))
-                sp_ok.append(jnp.sum(m.astype(jnp.int32)) > 0)
             qv = jnp.where(pidx == 0, si[SI["qv1"], 0],
                            jnp.where(pidx == 1, si[SI["qv2"], 0],
                                      si[SI["qv3"], 0]))
             truncated = qv > K
             consumed_any = nm0 > si[SI["synced"], 0]
             need_rs = truncated & consumed_any & (n_valid < nb)
+            if not cfg["use_dense"]:  # == use_dense_channel when needs_corpus
+                # Corpus-only mode: fully-consumed queue ends the chunk for
+                # a fresh sync (mirrors enhanced_state.enhanced_step).
+                n_live = jnp.sum((qsp > -INF).astype(jnp.int32))
+                need_rs = need_rs | ((n_live == 0) & consumed_any)
+            # Insertion rank of the dense candidate among the (sorted desc)
+            # selected sparse scores; ties keep dense first (enhanced_step):
+            # every taken queue entry scoring strictly above it precedes it.
+            p_rank = jnp.sum(
+                jnp.where(take & (qsp > dense_score), 1, 0)).astype(jnp.int32)
         else:
-            sp_i = [jnp.int32(0)] * nb
-            sp_j = [jnp.int32(0)] * nb
-            sp_d = [jnp.float32(INF)] * nb
-            sp_s = [jnp.float32(-INF)] * nb
-            sp_ok = [jnp.bool_(False)] * nb
+            take = None
+            rank = None
+            qip = qjp = qdp = qsp = None
+            p_rank = jnp.int32(0)
             need_rs = jnp.bool_(False)
 
         @pl.when(need_rs)
@@ -369,29 +361,28 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
 
         @pl.when(~need_rs)
         def _merge_round():
-            # Insertion rank of the dense candidate among the (sorted desc)
-            # selected sparse scores; ties keep dense first (enhanced_step).
-            p_rank = jnp.int32(0)
-            for t in range(nb):
-                p_rank += (jnp.where(sp_ok[t], sp_s[t], -INF)
-                           > dense_score).astype(jnp.int32)
-
-            n_done = jnp.int32(0)
+            # Candidate slots [0, nb]: the dense candidate sits at its
+            # insertion rank, the taken queue entries (already score-sorted)
+            # fill the rest. Rolled as a fori_loop — the round-3 kernel
+            # unrolled nb+1 copies of this block, which alone put the Mosaic
+            # compile at ~70 s (VERDICT r3 #3/#4). Each slot re-derives its
+            # queue entry with a masked reduction (one (K/128, 128) sweep).
             # Applied midpoints land in vec rows [2, 2 + applied_rank).
-            for t in range(nb + 1):
-                is_dense = jnp.asarray(t, jnp.int32) == p_rank
-                if t == 0:
-                    s_i, s_j = sp_i[0], sp_j[0]
-                    s_d, s_ok = sp_d[0], sp_ok[0]
-                elif t == nb:
-                    s_i, s_j = sp_i[nb - 1], sp_j[nb - 1]
-                    s_d, s_ok = sp_d[nb - 1], sp_ok[nb - 1]
+            def _slot_body(t, n_done):
+                is_dense = t == p_rank
+                if cfg["needs_corpus"]:
+                    sp_t = jnp.clip(jnp.where(t > p_rank, t - 1, t),
+                                    0, nb - 1)
+                    m = take & (rank == sp_t)
+                    s_i = jnp.sum(jnp.where(m, qip, 0))
+                    s_j = jnp.sum(jnp.where(m, qjp, 0))
+                    s_d = jnp.sum(jnp.where(m, qdp, 0.0))
+                    s_ok = jnp.sum(m.astype(jnp.int32)) > 0
                 else:
-                    after = jnp.asarray(t, jnp.int32) > p_rank
-                    s_i = jnp.where(after, sp_i[t - 1], sp_i[t])
-                    s_j = jnp.where(after, sp_j[t - 1], sp_j[t])
-                    s_d = jnp.where(after, sp_d[t - 1], sp_d[t])
-                    s_ok = jnp.where(after, sp_ok[t - 1], sp_ok[t])
+                    s_i = jnp.int32(0)
+                    s_j = jnp.int32(0)
+                    s_d = jnp.float32(INF)
+                    s_ok = jnp.bool_(False)
                 ci = jnp.where(is_dense, di, s_i)
                 cj = jnp.where(is_dense, dj, s_j)
                 cd = jnp.where(is_dense, dd, s_d)
@@ -399,9 +390,9 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                 cv = cv & (vocab0 + n_done < max_v)
 
                 @pl.when(cv)
-                def _apply(ci=ci, cj=cj, cd=cd, nd=n_done):
-                    slot = vocab0 + nd
-                    hslot = nm0 + nd
+                def _apply():
+                    slot = vocab0 + n_done
+                    hslot = nm0 + n_done
                     cp_i = pltpu.make_async_copy(
                         emb.at[pl.ds(ci, 1), :], vec.at[pl.ds(0, 1), :],
                         sems.at[0])
@@ -417,9 +408,9 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                     x_new = _project(
                         _midpoint(vec[pl.ds(0, 1), :], vec[pl.ds(1, 1), :],
                                   li, lj, lane, d1), lane, c)
-                    vec[pl.ds(2 + nd, 1), :] = x_new
+                    vec[pl.ds(2 + n_done, 1), :] = x_new
                     cp_w = pltpu.make_async_copy(
-                        vec.at[pl.ds(2 + nd, 1), :],
+                        vec.at[pl.ds(2 + n_done, 1), :],
                         emb.at[pl.ds(slot, 1), :], sems.at[2])
                     cp_w.start()
                     cp_w.wait()
@@ -447,8 +438,9 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                         bdi = _get(bd, ci)
                         _set(bd, ci, jnp.where(tracked, INF, bdi))
 
-                n_done = n_done + cv.astype(jnp.int32)
+                return n_done + cv.astype(jnp.int32)
 
+            n_done = jax.lax.fori_loop(0, nb + 1, _slot_body, jnp.int32(0))
             any_applied = n_done > 0
 
             # --- batched column fold (merge_batch's candidate maintenance) --
@@ -480,11 +472,13 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                                    jnp.int32, (g, LANES), 0) * LANES
                                + jax.lax.broadcasted_iota(
                                    jnp.int32, (g, LANES), 1))
-                        bds = bd[pl.ds(tt * g, g), :]
-                        bjs = bj[pl.ds(tt * g, g), :]
-                        for b in range(nb + 1):
+
+                        # Rolled over the batch (round-3 unrolled nb+1
+                        # copies); best-so-far updates go through the refs —
+                        # cheap VMEM traffic vs carrying (g, 128) loop state.
+                        def _fold_b(b, _):
                             slot_b = vocab0 + b
-                            ok_b = jnp.asarray(b, jnp.int32) < n_done
+                            ok_b = b < n_done
                             xb = vec[pl.ds(2 + b, 1), :]
                             sig_x3 = (sig * xb).reshape(1, 1, LANES)
                             gram = jnp.sum(b3 * sig_x3, axis=-1)
@@ -492,11 +486,16 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                                           ) * inv_sqrt_c
                             mask = ok_b & (ids < slot_b) & (ids < vocab_post)
                             dcol = jnp.where(mask, dcol, INF)
+                            bds = bd[pl.ds(tt * g, g), :]
+                            bjs = bj[pl.ds(tt * g, g), :]
                             imp = dcol < bds
-                            bds = jnp.where(imp, dcol, bds)
-                            bjs = jnp.where(imp, slot_b, bjs)
-                        bd[pl.ds(tt * g, g), :] = bds
-                        bj[pl.ds(tt * g, g), :] = bjs
+                            bd[pl.ds(tt * g, g), :] = jnp.where(
+                                imp, dcol, bds)
+                            bj[pl.ds(tt * g, g), :] = jnp.where(
+                                imp, slot_b, bjs)
+                            return 0
+
+                        jax.lax.fori_loop(0, nb + 1, _fold_b, 0)
                         return 0
 
                     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -532,6 +531,24 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                               sf[SF["thr"], 0]), THRESHOLD_CAP)
             full = (si[SI["vocab"], 0] >= max_v).astype(jnp.int32)
             si[SI["stopped"], 0] = si[SI["stopped"], 0] | full
+
+    # --- segment driver: up to n_steps scored steps in this one launch ---
+    def _step_iter(s, carry):
+        del s
+        halt0 = (si[SI["halt"], 0] == 1) | (si[SI["stopped"], 0] == 1) \
+            | (si[SI["resync"], 0] == 1) \
+            | (si[SI["nm"], 0] >= si[SI["m_budget"], 0]) \
+            | (si[SI["step"], 0] >= si[SI["s_budget"], 0]) \
+            | (si[SI["nm"], 0] >= si[SI["curv_stop"], 0])
+        si[SI["halt"], 0] = halt0.astype(jnp.int32)
+
+        @pl.when(~halt0)
+        def _():
+            _one_step()
+
+        return carry
+
+    jax.lax.fori_loop(0, n_steps, _step_iter, 0)
 
 
 # --------------------------------------------------------------- host wrapper
@@ -664,7 +681,7 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
     kern = functools.partial(
         _kernel, cfg=cfg, max_v=max_v, d1=d1, n8=n8, g=g, k_rows=k_rows,
         table_size=T, morph_rows=morph.shape[0], word_rows=word.shape[0],
-        pw_rows=pw_rows)
+        pw_rows=pw_rows, n_steps=grid)
 
     def vmem(shape):
         return pl.BlockSpec(shape, lambda s: (0, 0),
@@ -706,7 +723,7 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
 
     out = pl.pallas_call(
         kern,
-        grid=(grid,),
+        grid=(1,),  # steps run as an in-kernel fori_loop (module docstring)
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=state_shapes,

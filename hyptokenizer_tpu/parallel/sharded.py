@@ -74,7 +74,8 @@ def _sharded_sync_fn(mesh: Mesh, config):
     def local(corpus_shard, merges, synced, num_merges):
         c = replay(corpus_shard, merges, synced, num_merges - synced,
                    config.n_init)
-        k, cnt, nu, mx = scoring.build_pair_table(c, config.freq_table_size)
+        k, cnt, nu, mx = scoring.build_pair_table(
+            c, config.freq_table_size, max_id=config.base.max_vocab_size)
         return c, k, cnt, nu[None], mx[None]
 
     sm = shard_map(
@@ -89,7 +90,8 @@ def _sharded_sync_fn(mesh: Mesh, config):
         corpus, keys, counts, nus, mxs = sm(
             st.corpus, st.base.merges, st.corpus_synced, st.base.num_merges)
         keys, counts, n_unique, max_count = scoring.merge_pair_tables(
-            keys, counts, nus, config.freq_table_size)
+            keys, counts, nus, config.freq_table_size,
+            max_id=config.base.max_vocab_size)
         return E._sync_finish(st, config, corpus, keys, counts, n_unique,
                               max_count)
 

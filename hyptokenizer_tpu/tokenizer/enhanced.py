@@ -116,6 +116,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         merge_policy: str = "fixpoint",
         mesh=None,
         corpus_shards: int = 1,
+        corpus_shrink: bool = False,
     ):
         super().__init__(
             vocab, embeddings, curvature=curvature,
@@ -128,6 +129,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             mesh=mesh,
         )
         self.language = language
+        self.corpus_shrink = corpus_shrink
         self.callbacks: List[Callable] = []
         del cache_size, rebuild_frequency, hnsw_m, hnsw_ef_construction
         del hnsw_ef_search, distance_weight, sample_size  # parity-only knobs
@@ -259,17 +261,24 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
     MIN_CORPUS_BUFFER = 1 << 16
 
     def _maybe_shrink_corpus(self) -> None:
-        """Halve the corpus buffer when the live prefix fits.
+        """Halve the corpus buffer when the live prefix fits (OPT-IN).
 
         Merges only ever shrink the corpus (replay + compaction leave a PAD
-        tail), but every sync cost — replay compares, the pair-table sort,
-        compaction scatters — scales with the static BUFFER size. Slicing to
-        the next power of two above the live count keeps late-training syncs
-        proportional to the live corpus. Semantically a no-op (only PAD tail
-        is dropped; merge sequences are bit-identical — tested), at the cost
-        of one jit compile per power-of-two size (cached across runs).
+        tail), and every sync cost scales with the static BUFFER size —
+        slicing to the next power of two above the live count keeps
+        late-training syncs proportional to the live corpus. Semantically a
+        no-op (only PAD tail is dropped; merge sequences are bit-identical —
+        tested). OFF by default (``corpus_shrink=False``): each new buffer
+        size is a fresh jit shape for the sync graph, and on a cold
+        compile cache those recompiles land INSIDE training (the round-3
+        driver bench lost a 100x window to them — VERDICT r3 #1), while the
+        measured full-buffer sync execution is ~0.1 s/chunk at 2.9 M tokens
+        (tools/profile_tpu_chunks.py) — the ladder saves little and costs a
+        lot. Enable for memory-bound corpora, or with a warm compile cache.
         """
         import jax as _jax
+        if not self.corpus_shrink:
+            return
         if self.mesh is not None and _jax.process_count() > 1:
             return  # sharded corpus is not host-addressable across processes
         if self.corpus_shards > 1:
@@ -341,6 +350,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         first_chunk_seconds = None  # includes jit compile; reported separately
         start_merges = len(self.merge_history)
         prev_merges = start_merges
+        from hyptokenizer_tpu.utils.metrics import compile_seconds
+        prev_compile_s = compile_seconds()
         while done < steps:
             if target_vocab_size is not None and \
                     len(self.vocab) >= target_vocab_size:
@@ -397,12 +408,17 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 # (VERDICT r2 #2): actual merges and wall seconds per chunk.
                 "chunk_merges": chunk_merges,
                 "chunk_seconds": dt,
+                # Mid-run (re)compiles visible in the artifact (VERDICT r3
+                # #3): jit trace+compile seconds attributed to this chunk.
+                "chunk_compile_s": max(0.0, round(
+                    compile_seconds() - prev_compile_s, 3)),
                 "pair_table_unique": int(self.enh_state.pair_unique),
                 "min_dist": dstats["min"],
                 "max_dist": dstats["max"],
                 "mean_dist": dstats["mean"],
                 "std_dist": dstats["std"],
             }
+            prev_compile_s += stat["chunk_compile_s"]
             if stat["pair_table_unique"] > self.enh_config.freq_table_size:
                 logger.warning(
                     "pair table overflow: %d unique corpus pairs > table "

@@ -76,3 +76,37 @@ def enable_nan_checks(enable: bool = True) -> None:
     """Global debug-NaN mode: any NaN produced under jit raises with a
     traceback to the producing op (moral equivalent of a sanitizer)."""
     jax.config.update("jax_debug_nans", enable)
+
+
+# ----------------------------------------------------------- compile tracking
+
+_COMPILE_ACC = {"s": 0.0}
+_COMPILE_REGISTERED = False
+# Events that represent real (re)compilation work. Trace/lowering timers are
+# included: on a cache hit they are the only cost, and mid-run retracing is
+# exactly what the per-chunk log is meant to surface.
+_COMPILE_EVENTS = (
+    "/jax/core/compile/backend_compile_duration",
+    "/jax/core/compile/jaxpr_trace_duration",
+    "/jax/core/compile/jaxpr_to_mlir_module_duration",
+)
+
+
+def compile_seconds() -> float:
+    """Cumulative jit trace+compile seconds in this process.
+
+    Lazily registers a ``jax.monitoring`` duration listener; callers diff
+    consecutive readings to attribute compile time to a phase (the per-chunk
+    ``chunk_compile_s`` in training_stats — VERDICT r3 #3 asked for mid-run
+    compiles to be visible in artifacts)."""
+    global _COMPILE_REGISTERED
+    if not _COMPILE_REGISTERED:
+        from jax import monitoring
+
+        def _cb(event, dur, **kw):
+            if event in _COMPILE_EVENTS:
+                _COMPILE_ACC["s"] += dur
+
+        monitoring.register_event_duration_secs_listener(_cb)
+        _COMPILE_REGISTERED = True
+    return _COMPILE_ACC["s"]

@@ -203,7 +203,7 @@ def test_corpus_shrinking_is_semantically_inert():
             search_block=32, corpus_sample=corpus, corpus_max_tokens=512,
             use_hierarchical=False, use_adaptive_curvature=False,
             use_compression_aware=False, use_dense_channel=False,
-            min_pair_freq=1, merge_batch=4, seed=1)
+            min_pair_freq=1, merge_batch=4, seed=1, corpus_shrink=True)
         tok.MIN_CORPUS_BUFFER = min_buf
         return tok
 

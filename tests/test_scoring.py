@@ -426,3 +426,109 @@ def test_merge_pair_tables_matches_full_build():
             assert int(full[2]) == int(merged[2])
         else:  # overflow: exact value unknowable, signal must still fire
             assert int(merged[2]) > t_size
+
+
+def test_blocked_scans_match_flat():
+    """Two-level blocked scans are bit-exact vs the flat XLA scans (they
+    replace them at corpus sizes purely for compile time)."""
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(0)
+    for n in (7, 8192 * 2, 8192 * 2 + 1, 50_001, 8192 * 5 + 137):
+        x = jnp.asarray(rng.integers(-1000, 1000, n), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(S.blocked_cumsum(x)), np.cumsum(np.asarray(x)))
+        np.testing.assert_array_equal(
+            np.asarray(S.blocked_cummax(x)),
+            np.maximum.accumulate(np.asarray(x)))
+        np.testing.assert_array_equal(
+            np.asarray(S.blocked_cummin_reverse(x)),
+            np.minimum.accumulate(np.asarray(x)[::-1])[::-1])
+
+
+def test_packed_pair_table_matches_two_lane():
+    """build_pair_table with the order-preserving packed sort (max_id<=65535)
+    is bit-identical to the two-lane sort path."""
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(1)
+    corpus = rng.integers(0, 60_000, 5000).astype(np.int32)
+    corpus[rng.random(5000) < 0.05] = -1   # PAD
+    corpus[rng.random(5000) < 0.05] = -2   # SEP
+    c = jnp.asarray(corpus)
+    a = S.build_pair_table(c, 4096)
+    b = S.build_pair_table(c, 4096, max_id=60_001)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ids beyond the packable bound fall back to the two-lane sort
+    c2 = jnp.asarray(np.where(corpus > 0, corpus + 60_000, corpus))
+    a2 = S.build_pair_table(c2, 4096)
+    b2 = S.build_pair_table(c2, 4096, max_id=200_000)
+    for x, y in zip(a2, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pack_lex_roundtrip_and_order():
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(2)
+    hi = jnp.asarray(rng.integers(0, 65535, 2000), jnp.int32)
+    lo = jnp.asarray(rng.integers(0, 65535, 2000), jnp.int32)
+    k = S.pack_lex(hi, lo)
+    h2, l2 = S.unpack_lex(k)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(lo))
+    # int32 order of packed == lex order of (hi, lo)
+    order_packed = np.argsort(np.asarray(k), kind="stable")
+    order_lex = np.lexsort((np.asarray(lo), np.asarray(hi)))
+    kk = np.asarray(k)
+    assert (kk[order_packed] == kk[order_lex]).all()
+
+
+def test_top_k_desc_matches_lax_top_k():
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(3)
+    # Heavy ties + -inf entries (the queue-build regime).
+    vals = rng.choice([-np.inf, 0.5, 1.0, 2.0, 3.25], size=(3, 9000),
+                      p=[0.4, 0.2, 0.2, 0.1, 0.1]).astype(np.float32)
+    v = jnp.asarray(vals)
+    for k in (1, 7, 256, 4096):
+        tv, ti = jax.lax.top_k(v, k)
+        mv, mi = S.top_k_desc(v, k)
+        np.testing.assert_array_equal(np.asarray(mv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(mi), np.asarray(ti))
+    # Dense random values too.
+    v2 = jnp.asarray(rng.standard_normal((2, 5000)).astype(np.float32))
+    tv, ti = jax.lax.top_k(v2, 100)
+    mv, mi = S.top_k_desc(v2, 100)
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(ti))
+
+
+def test_replayed_corpus_never_contains_historical_pairs():
+    """The invariant that lets the live sync skip the consumed-history join
+    (enhanced_state._sync_finish): after replay, every historical pair's
+    adjacency count is zero — for BOTH replay orders."""
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(4)
+    n_init = 6
+    corpus = rng.integers(0, n_init, 400).astype(np.int32)
+    corpus[::37] = -2  # SEPs
+    for replay in (S.batch_fixpoint_replay, S.batch_rank_replay):
+        merges = np.full((32, 2), -1, np.int32)
+        c = jnp.asarray(np.concatenate([corpus, -np.ones(100, np.int32)]))
+        hist = []
+        for k in range(12):
+            # Merge the most frequent current pair (classic BPE choice).
+            keys, counts, _, _ = S.build_pair_table(c, 512)
+            i = int(np.asarray(jnp.argmax(counts)))
+            a, b = int(np.asarray(keys)[i, 0]), int(np.asarray(keys)[i, 1])
+            if np.asarray(counts)[i] == 0:
+                break
+            merges[k] = (a, b)
+            hist.append((a, b))
+            c = replay(c, jnp.asarray(merges), jnp.asarray(k, jnp.int32),
+                       jnp.asarray(1, jnp.int32), n_init)
+        keys, counts, _, _ = S.build_pair_table(c, 512)
+        kn = np.asarray(keys)
+        cn = np.asarray(counts)
+        table = {(int(h), int(l)): int(ct) for (h, l), ct in zip(kn, cn)}
+        for pair in hist:
+            assert table.get(pair, 0) == 0, (replay.__name__, pair)
