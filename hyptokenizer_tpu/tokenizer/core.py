@@ -97,6 +97,10 @@ class HyperbolicTokenizer:
             max_vocab_size=self.max_vocab_size,
             adaptive_threshold=adaptive_threshold,
             search_block=search_block,
+            # Subclasses may pre-set _init_candidates=False (corpus-only
+            # enhanced mode) BEFORE super().__init__: the dense-candidate
+            # arrays are then poisoned instead of computed (state.init_state).
+            init_candidates=getattr(self, "_init_candidates", True),
         )
         self.state = state_lib.init_state(
             emb0, lengths0, curvature=self.curvature,

@@ -118,6 +118,14 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         corpus_shards: int = 1,
         corpus_shrink: bool = False,
     ):
+        # Corpus-only (bpe) mode never reads the dense-candidate arrays:
+        # skip the O(V^2 d) init pass and poison them (state.init_state;
+        # VERDICT r3 #7). Decided before super().__init__ builds the state.
+        has_corpus = bool(corpus_path or corpus_sample)
+        needs_corpus = has_corpus and (use_frequency_aware
+                                       or use_compression_aware
+                                       or use_hierarchical)
+        self._init_candidates = use_dense_channel or not needs_corpus
         super().__init__(
             vocab, embeddings, curvature=curvature,
             merge_threshold=merge_threshold, lr=lr, device=device,

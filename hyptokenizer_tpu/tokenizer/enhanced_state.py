@@ -787,6 +787,18 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
     dispatch latency amortises across a whole segment); elsewhere, or when
     the kernel's shape preconditions fail, the jitted ``lax.while_loop``.
     """
+    if (config.use_dense_channel or not config.needs_corpus) and \
+            bool(jnp.isnan(st.base.best_dist[0])):
+        # Poisoned dense-candidate arrays (state trained corpus-only, where
+        # candidate maintenance is skipped by design — MergeConfig
+        # .init_candidates). Failing loudly here beats silently consuming
+        # stale/garbage candidates (VERDICT r3 #7).
+        raise ValueError(
+            "dense candidate channel requested but best_dist is poisoned: "
+            "this state was built/trained with use_dense_channel=False "
+            "(corpus-only), which never maintains the dense-candidate "
+            "arrays. Rebuild them (search.full_pass_best) or keep "
+            "use_dense_channel=False.")
     remaining = n_steps
     before = int(st.base.num_merges)
     while True:

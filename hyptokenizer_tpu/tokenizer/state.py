@@ -61,6 +61,12 @@ class MergeConfig:
     search_block: int = struct.field(pytree_node=False, default=512)
     # Full-pass backend: None = auto (Pallas on TPU, XLA elsewhere).
     use_pallas: bool | None = struct.field(pytree_node=False, default=None)
+    # False: skip the O(V0^2 d) initial candidate pass and POISON
+    # best_dist/best_j (NaN/-1) instead. Set by corpus-only (bpe-mode)
+    # enhanced training, where no path reads the dense-candidate arrays: the
+    # poison makes any accidental read fail loudly (VERDICT r3 #7) and the
+    # init skips a full 50k^2 pairwise pass whose result would be dead.
+    init_candidates: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -127,7 +133,12 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     use_pallas = config.use_pallas
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas:
+    if not config.init_candidates:
+        # Dense channel unused (corpus-only enhanced mode): poison instead
+        # of computing (see MergeConfig.init_candidates).
+        best_dist = jnp.full((max_v,), jnp.nan, jnp.float32)
+        best_j = jnp.full((max_v,), -1, jnp.int32)
+    elif use_pallas:
         # History is empty at init: the fused kernel applies directly.
         from hyptokenizer_tpu.ops.pallas import pairwise_min_best
         best_dist, best_j = pairwise_min_best(emb, vocab_size, c)

@@ -433,3 +433,20 @@ def test_enhanced_load_legacy_fallback(tmp_path):
     assert tok.encode(text) == base.encode(text)
     # Continued (dense-only) training works.
     tok.optimize_merges(steps=3, log_every=3)
+
+
+def test_bpe_mode_poisons_dense_candidates():
+    """Corpus-only mode skips candidate maintenance; the arrays are poisoned
+    at init and any dense-channel consumer fails loudly (VERDICT r3 #7)."""
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    tok = make_tok(thr=50.0, use_hierarchical=False,
+                   use_adaptive_curvature=False, use_compression_aware=False,
+                   use_dense_channel=False, merge_batch=4)
+    assert np.isnan(np.asarray(tok.state.best_dist)).all()
+    tok.optimize_merges(steps=8, log_every=8)
+    assert len(tok.merge_history) > 0          # training unaffected
+    assert np.isnan(np.asarray(tok.enh_state.base.best_dist[0]))
+    # Flipping the dense channel on against the poisoned state is loud.
+    dense_cfg = tok.enh_config.replace(use_dense_channel=True)
+    with pytest.raises(ValueError, match="poisoned"):
+        E.run_enhanced(tok.enh_state, dense_cfg, 4)
