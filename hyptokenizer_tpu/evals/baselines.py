@@ -48,11 +48,17 @@ def train_bpe(files: List[str], vocab_size: int):
 
 
 def train_bytelevel_bpe(files: List[str], vocab_size: int):
-    """GPT-2-style byte-level BPE: LOSSLESS (spaces survive as U+0120-marked
-    bytes; decode reconstructs the text exactly). The fair Rust-library
-    baseline for the framework's lossless tokenizers — the Whitespace
-    pre-tokenizer variant above DROPS spaces (18% of corpus chars) and its
-    decode cannot reconstruct the input.
+    """GPT-2-style byte-level BPE: LOSSLESS on this corpus (spaces survive
+    as U+0120-marked bytes; decode reconstructs the text exactly). The fair
+    Rust-library baseline for the framework's lossless tokenizers — the
+    Whitespace pre-tokenizer variant above DROPS spaces (18% of corpus
+    chars) and its decode cannot reconstruct the input.
+
+    Caveat (ADVICE r3): the shared NFD+Lowercase+StripAccents normalizer
+    (kept for comparability with every other baseline here) makes decode
+    lossless only up to case folding and accent stripping — exact on the
+    benchmark's preprocessed wiki corpus, which is 100% lowercase ASCII,
+    but not on arbitrary text.
     """
     from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, \
         trainers

@@ -26,17 +26,21 @@ python -m hyptokenizer_tpu.cli.train_enhanced_tokenizer \
     --no-use-hierarchical --no-use-compression-aware \
     --pre-split words --merge-policy priority --corpus-max-tokens 2097152
 
-for m in "bpe $WORK/baselines/bpe_$V.json" \
-         "bytelevel $WORK/baselines/bytelevel_$V.json" \
-         "hyperbolic $WORK/hyp_sync$SYNC"; do
-    set -- $m
-    python tools/tok_stats.py "$WORK/val.txt" "$2" \
-        $([ "$1" = hyperbolic ] && echo hyperbolic || echo hf)
+for method in bpe bytelevel hyperbolic; do
+    # Model path derived per method (no word-splitting: $WORK may contain
+    # spaces — ADVICE r3).
+    case "$method" in
+        bpe)        model="$WORK/baselines/bpe_$V.json" ;;
+        bytelevel)  model="$WORK/baselines/bytelevel_$V.json" ;;
+        hyperbolic) model="$WORK/hyp_sync$SYNC" ;;
+    esac
+    python tools/tok_stats.py "$WORK/val.txt" "$model" \
+        "$([ "$method" = hyperbolic ] && echo hyperbolic || echo hf)"
     python -m hyptokenizer_tpu.cli.train_nlp_tasks \
-        --method "$1" --model-path "$2" --task both \
+        --method "$method" --model-path "$model" --task both \
         --train-text "$WORK/train.txt" --val-text "$WORK/val.txt" \
         --train-cls "$WORK/cls_train.tsv" --val-cls "$WORK/cls_val.tsv" \
-        --output-dir "$WORK/nlp_$1" --epochs 6 --max-lines 3000 \
+        --output-dir "$WORK/nlp_$method" --epochs 6 --max-lines 3000 \
         --hidden-size 128 --num-layers 2 --num-heads 4 --batch-size 16 \
         --max-length 128
 done

@@ -25,9 +25,10 @@ def main():
     if method == "hyperbolic":
         from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
         tok = HyperbolicTokenizer.load(model)
-        toks = sum(len(ids) for ids in tok.encode_batch(lines))
+        ids_list = tok.encode_batch(lines)  # single encode pass
+        toks = sum(len(ids) for ids in ids_list)
         vocab = len(tok.vocab)
-        used = len({i for ids in tok.encode_batch(lines) for i in ids})
+        used = len({i for ids in ids_list for i in ids})
     else:
         from tokenizers import Tokenizer
         tok = Tokenizer.from_file(model)
