@@ -130,13 +130,27 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     sharded_sync = (config.needs_corpus
                     and _corpus_shard_aligned(st, mesh.devices.size))
     st = shard_enhanced_state(st, mesh)
+    # Same (sync -> merge -> resync) pacing as the single-device
+    # enhanced_state.run_enhanced: queue exhaustion mid-chunk triggers a
+    # fresh sync here, so the two paths' chunk accounting and merge
+    # sequences stay identical.
+    remaining = n_steps
+    before = int(st.base.num_merges)
     with mesh:
-        if sharded_sync:
-            st = _sharded_sync_fn(mesh, config)(st)
-            out = _enhanced_loop_jit(st, config, n_steps)
-        else:
-            out = _run_enhanced(st, config, n_steps)
-    return shard_enhanced_state(out, mesh)
+        while True:
+            if sharded_sync:
+                st = _sharded_sync_fn(mesh, config)(st)
+                st = _enhanced_loop_jit(st, config, remaining)
+            else:
+                st = _run_enhanced(st, config, remaining)
+            now = int(st.base.num_merges)
+            remaining -= now - before
+            before = now
+            if remaining <= 0 or bool(st.base.stopped):
+                break
+            if not bool(st.needs_resync):
+                break  # candidate drought / attempt cap: caller decides
+    return shard_enhanced_state(st, mesh)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_steps"),

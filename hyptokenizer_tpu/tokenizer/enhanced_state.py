@@ -685,15 +685,24 @@ def _sync_finish(st: EnhancedState, config: EnhancedConfig, corpus,
         score3 = jnp.where((~consumed)[:, None], score3, -INF)
 
     # Per-phase score-sorted candidate queues (consume-on-read within the
-    # chunk; see module docstring).
+    # chunk; see module docstring). Without the hierarchical curriculum the
+    # three phase columns are IDENTICAL (morph_w = 0 and the phase never
+    # leaves 1): score/select one row and broadcast — a 3x cut of the
+    # replicated top-k/queue tail (VERDICT r3 #6).
     k = config.queue_size
-    vals3 = score3                                          # (T, 3)
-    top_vals, top_pos = scoring.top_k_desc(vals3.T, k)      # (3, K) each
+    if config.use_hierarchical:
+        top_vals, top_pos = scoring.top_k_desc(score3.T, k)  # (3, K) each
+        q_valid_total = jnp.sum((score3 > -INF).astype(jnp.int32), axis=0)
+    else:
+        tv1, tp1 = scoring.top_k_desc(score3[:, :1].T, k)    # (1, K)
+        top_vals = jnp.broadcast_to(tv1, (3, k))
+        top_pos = jnp.broadcast_to(tp1, (3, k))
+        qv1 = jnp.sum((score3[:, 0] > -INF).astype(jnp.int32))
+        q_valid_total = jnp.broadcast_to(qv1[None], (3,))
     stored = top_vals > -INF
     q_i = jnp.where(stored, rows[top_pos], -1)
     q_j = jnp.where(stored, cols[top_pos], -1)
     q_dist = jnp.where(stored, dists[top_pos], INF)
-    q_valid_total = jnp.sum((vals3 > -INF).astype(jnp.int32), axis=0)
 
     return st.replace(q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=top_vals,
                       q_valid_total=q_valid_total,
