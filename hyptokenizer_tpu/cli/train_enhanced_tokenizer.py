@@ -72,6 +72,19 @@ def main(argv=None):
                    help="lossless regex pre-split: merges never cross "
                         "segment boundaries (words = GPT-2-style leading-"
                         "space word units); applied at train AND encode time")
+    p.add_argument("--hierarchy-supervision",
+                   choices=["none", "wordnet", "merge-tree", "both"],
+                   default="none",
+                   help="after merge training, RSGD-train the saved "
+                        "embeddings toward hierarchy structure (the "
+                        "RESULTS.md ranking+ordinal recipe; VERDICT r3 #8) "
+                        "so the shipped artifact carries the signal")
+    p.add_argument("--graph-path", type=str, default=None,
+                   help="WordNet graph pickle for --hierarchy-supervision "
+                        "wordnet/both (cli.build_wordnet_graph)")
+    p.add_argument("--hs-ranking-steps", type=int, default=27_000)
+    p.add_argument("--hs-ordinal-steps", type=int, default=16_000)
+    p.add_argument("--hs-lr", type=float, default=0.3)
     args, _ = parse_with_config(p, argv)
 
     setup_logging()
@@ -146,6 +159,27 @@ def main(argv=None):
     import jax
     if jax.process_index() != 0:
         return  # only process 0 writes artifacts on a multi-host job
+    if args.hierarchy_supervision != "none":
+        import numpy as np
+
+        from hyptokenizer_tpu.cli.train_graph_embeddings import \
+            supervise_embeddings
+        if args.hierarchy_supervision in ("wordnet", "both") \
+                and not args.graph_path:
+            raise SystemExit("--hierarchy-supervision wordnet needs "
+                             "--graph-path")
+        emb_out = supervise_embeddings(
+            tok,
+            graph_path=(args.graph_path
+                        if args.hierarchy_supervision in ("wordnet", "both")
+                        else None),
+            merge_tree=args.hierarchy_supervision in ("merge-tree", "both"),
+            seed=args.seed, ranking_steps=args.hs_ranking_steps,
+            ordinal_steps=args.hs_ordinal_steps, lr=args.hs_lr)
+        v = emb_out.shape[0]
+        tok.state = tok.state.replace(
+            emb=tok.state.emb.at[:v].set(emb_out))
+        tok.enh_state = tok.enh_state.replace(base=tok.state)
     tok.save(args.output_dir)
     persist_train_config(args, args.output_dir)
     print(f"saved enhanced tokenizer with {tok.current_vocab_size} tokens "

@@ -49,6 +49,67 @@ def graph_pairs(graph, mapping, max_dist: int):
             np.asarray(weights, np.float32))
 
 
+def supervise_embeddings(tok, graph_path=None, merge_tree=False,
+                         seed: int = 0, ranking_steps: int = 27_000,
+                         ordinal_steps: int = 16_000, lr: float = 0.3,
+                         batch: int = 2048, negatives: int = 10):
+    """Hierarchy supervision recipe, as one call on a live tokenizer.
+
+    WordNet mode: ranking-NLL warm-up over <=6-hop pairs (global structure),
+    then a two-stage ordinal pairwise-order polish over <=10-hop pairs —
+    the loss that optimizes exactly what eval_hierarchy's spearman_r
+    measures; the second polish stage doubles the batch and cools the lr.
+    Defaults are the measured 50k-flagship recipe: spearman 0.057 (random)
+    -> 0.353 on the 5k-pair protocol (RESULTS.md round 4; 0.397 at 8k
+    vocab in round 3). Merge-tree mode: ranking NLL on the tokenizer's own
+    merge tree (no external graph). Returns the updated (V, d+1) embedding
+    array (numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hyptokenizer_tpu.tokenizer import embed_train as ET
+
+    emb = jnp.asarray(tok.embeddings)
+    n_vocab = len(tok.vocab)
+    c = float(tok.state.curvature)
+    key = jax.random.PRNGKey(seed)
+
+    if graph_path:
+        from hyptokenizer_tpu.evals import create_node_mapping, \
+            load_wordnet_graph
+        graph = load_wordnet_graph(graph_path)
+        mapping = create_node_mapping(graph, tok.vocab)
+        neg_pool = np.asarray(sorted(set(mapping.values())), np.int32)
+        pairs6, w6 = graph_pairs(graph, mapping, 6)
+        emb, _ = ET.train_embeddings_pairs(
+            emb, jnp.asarray(pairs6), jnp.asarray(w6),
+            jnp.asarray(neg_pool), key, steps=ranking_steps, batch=batch,
+            negatives=negatives, lr=lr, c=c)
+        pairs10, w10 = graph_pairs(graph, mapping, 10)
+        targets10 = jnp.asarray(1.0 / w10, jnp.float32)
+        emb, _ = ET.train_embeddings_ordinal(
+            emb, jnp.asarray(pairs10), targets10,
+            jax.random.PRNGKey(seed + 1), steps=ordinal_steps // 2,
+            batch=max(batch, 1), lr=lr, c=c)
+        emb, _ = ET.train_embeddings_ordinal(
+            emb, jnp.asarray(pairs10), targets10,
+            jax.random.PRNGKey(seed + 3), steps=ordinal_steps // 2,
+            batch=max(2 * batch, 1), lr=2 * lr / 3, c=c)
+    if merge_tree:
+        n_init = n_vocab - len(tok.merge_history)
+        pairs, w = ET.merge_tree_pairs(
+            [(tok.token2idx[a], tok.token2idx[b])
+             for a, b, _ in tok.merge_history], n_init, n_vocab)
+        if pairs.shape[0]:
+            emb, _ = ET.train_embeddings_pairs(
+                emb, jnp.asarray(pairs), jnp.asarray(w),
+                jnp.asarray(np.arange(n_vocab, dtype=np.int32)),
+                jax.random.PRNGKey(seed + 2), steps=ranking_steps // 3,
+                batch=batch, negatives=negatives, lr=lr, c=c)
+    return np.asarray(emb)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--tokenizer-dir", type=str, required=True)

@@ -98,6 +98,209 @@ def _sharded_sync_fn(mesh: Mesh, config):
     return sync
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_sync_v3_fn(mesh: Mesh, config):
+    """Fully-sharded sync for corpus-only configs (VERDICT r3 #6).
+
+    The v2 sharded sync still ran the pair-table COMBINE (a D*T-row sort)
+    and the scoring/queue tail replicated on every device — measured at
+    ~98% of the chunk cycle at D=8 on the profile workload
+    (tools/profile_sync_fraction.py). Here every T-sized stage shards:
+
+      1. per-shard replay + pair count (as v2),
+      2. hash-partition of pair keys + all_to_all: each device OWNS a
+         disjoint key subset; combining is a local (2T/D-row) sort,
+      3. scoring + top-K on owned keys only (emb all-gathered once),
+      4. a K-sized replicated merge of the D per-device candidate lists.
+
+    Bit-identical to the single-device sync when no table overflows: scores
+    are computed with the same elementwise formula on the same values, and
+    every top-K stage tie-breaks by the packed pair key, which equals the
+    single-device sorted-table-position order (scoring.top_k_desc's
+    tiebreak mode). Gated to corpus-only configs: the state pair table is
+    materialized in hash-partition order, which the dense channel's binary
+    search could not consume (nothing reads it in corpus-only mode — the
+    next sync rebuilds from the corpus).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    import jax.numpy as jnp
+
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.parallel.mesh import VOCAB_AXIS
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    from hyptokenizer_tpu.tokenizer import scoring
+
+    D = int(mesh.devices.size)
+    T = config.freq_table_size
+    B = max(128, -(-2 * (T // D) // 128) * 128)  # per-(src,dest) bucket cap
+    K = config.queue_size
+    PR = 3 if config.use_hierarchical else 1
+    TD = T // D
+    SENT = scoring.PKEY_SENT
+    INF = jnp.inf
+    replay = (scoring.batch_rank_replay if config.priority_replay
+              else scoring.batch_fixpoint_replay)
+    max_v = config.base.max_vocab_size
+
+    def local(corpus_shard, merges, synced, num_merges, emb_sh, len_sh,
+              thr, curv, samp, th_sh, bl_sh, vw_sh, powers,
+              morph, msize, word, wsize):
+        # 1. per-shard replay + pair count.
+        c = replay(corpus_shard, merges, synced, num_merges - synced,
+                   config.n_init)
+        keys, counts, nu, _mx = scoring.build_pair_table(c, T, max_id=max_v)
+        pk = scoring.pack_lex(keys[:, 0], keys[:, 1])
+        valid = pk != SENT
+
+        # 2. hash-partition (dest uniform in the key, independent of the
+        # key ORDER so ownership balances statistically).
+        h = (pk ^ (pk >> 15)) * jnp.int32(-1640531527)  # Fibonacci mix
+        dest = jnp.where(valid, (h & jnp.int32(0x7FFFFFFF)) % D, 0)
+        rank = jnp.zeros_like(pk)
+        for d in range(D):
+            m = valid & (dest == d)
+            rank = jnp.where(
+                m, scoring.blocked_cumsum(m.astype(jnp.int32)) - 1, rank)
+        send_overflow = jnp.any(valid & (rank >= B))
+        slot = jnp.where(valid & (rank < B), dest * B + rank, D * B)
+        sk = jnp.full((D * B + 1,), SENT, jnp.int32).at[slot].set(
+            jnp.where(valid, pk, SENT), mode="drop")[:D * B]
+        sc = jnp.zeros((D * B + 1,), jnp.int32).at[slot].set(
+            jnp.where(valid, counts, 0), mode="drop")[:D * B]
+        rk = jax.lax.all_to_all(sk.reshape(D, B), VOCAB_AXIS, 0, 0)
+        rc = jax.lax.all_to_all(sc.reshape(D, B), VOCAB_AXIS, 0, 0)
+
+        # 3a. owned combine: sort received entries by key, sum runs.
+        fk, fc = jax.lax.sort((rk.reshape(D * B), rc.reshape(D * B)),
+                              num_keys=1)
+        m2 = D * B
+        idx = jnp.arange(m2, dtype=jnp.int32)
+        bnd = jnp.concatenate([jnp.ones((1,), jnp.bool_), fk[1:] != fk[:-1]])
+        head = bnd & (fk != SENT)
+        csum = scoring.blocked_cumsum(fc)
+        nbp = scoring.blocked_cummin_reverse(jnp.where(bnd, idx, m2))
+        nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), m2, jnp.int32)])
+        run_sum = (csum[jnp.minimum(nbp_excl - 1, m2 - 1)]
+                   - jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0))
+        seg = scoring.blocked_cumsum(head.astype(jnp.int32)) - 1
+        oslot = jnp.where(head, seg, m2)
+        ok_u = jnp.full((m2 + 1,), SENT, jnp.int32).at[oslot].set(
+            fk, mode="drop")[:m2]
+        oc_u = jnp.zeros((m2 + 1,), jnp.int32).at[oslot].set(
+            run_sum.astype(jnp.int32), mode="drop")[:m2]
+        n_own = jnp.sum(head.astype(jnp.int32))
+
+        # 3b. global statistics (exact: owned key sets are disjoint).
+        overflow = jax.lax.pmax(
+            (send_overflow | (nu > T) | (n_own > TD)).astype(jnp.int32),
+            VOCAB_AXIS) > 0
+        n_unique = jax.lax.psum(n_own, VOCAB_AXIS)
+        n_unique = jnp.where(overflow,
+                             jnp.maximum(n_unique, T + 1), n_unique)
+        max_count = jax.lax.pmax(jnp.max(oc_u), VOCAB_AXIS)
+        corpus_tokens = jax.lax.psum(scoring.corpus_token_count(c),
+                                     VOCAB_AXIS)
+
+        # 3c. score owned keys (embedding table gathered once per sync).
+        emb_full = jax.lax.all_gather(emb_sh, VOCAB_AXIS, axis=0, tiled=True)
+        len_full = jax.lax.all_gather(len_sh, VOCAB_AXIS, axis=0, tiled=True)
+        th_full = jax.lax.all_gather(th_sh, VOCAB_AXIS, axis=0, tiled=True)
+        bl_full = jax.lax.all_gather(bl_sh, VOCAB_AXIS, axis=0, tiled=True)
+        vw_full = jax.lax.all_gather(vw_sh, VOCAB_AXIS, axis=0, tiled=True)
+        hi_u, lo_u = scoring.unpack_lex(ok_u)
+        valid_u = ok_u != SENT
+        rows = jnp.where(valid_u, hi_u, 0)
+        cols = jnp.where(valid_u, lo_u, 0)
+        dists = L.distance(emb_full[rows], emb_full[cols], curv)
+        dists = jnp.where(valid_u, dists, INF)
+        score3 = E._full_scores_raw(
+            config, emb_full, len_full, thr, curv, samp,
+            max_count, corpus_tokens, th_full, bl_full,
+            vw_full.astype(jnp.bool_), powers, morph, msize, word, wsize,
+            rows, cols, dists, oc_u)
+        okc = valid_u & (oc_u >= config.min_pair_freq)
+        score3 = jnp.where(okc[:, None], score3, -INF)
+        qv = jax.lax.psum(
+            jnp.sum((score3 > -INF).astype(jnp.int32), axis=0), VOCAB_AXIS)
+
+        # 3d. local top-K over owned keys, tie-break = packed key (== the
+        # single-device sorted-table position order).
+        if config.use_hierarchical:
+            sv = score3.T                                  # (3, m2)
+        else:
+            sv = score3[:, :1].T                           # (1, m2)
+        tb = jnp.broadcast_to(ok_u[None, :], (PR, m2))
+        tv, tp = scoring.top_k_desc(sv, K, tiebreak=tb)
+        sel = jnp.minimum(tp, m2 - 1)
+        found = tv > -INF
+        sel_pk = jnp.where(found, jnp.take(ok_u, sel), SENT)
+        sel_d = jnp.where(found, jnp.take(dists, sel), INF)
+
+        # State pair table: first T/D owned uniques per device (key order;
+        # hash-partition layout — content-complete unless `overflow`).
+        return (c, tv[None], sel_pk[None], sel_d[None], qv,
+                n_unique, max_count, corpus_tokens,
+                ok_u[:TD], oc_u[:TD])
+
+    sm = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(VOCAB_AXIS), P(), P(), P(), P(VOCAB_AXIS, None),
+                  P(VOCAB_AXIS), P(), P(), P(), P(VOCAB_AXIS, None),
+                  P(VOCAB_AXIS), P(VOCAB_AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(VOCAB_AXIS),
+                   P(VOCAB_AXIS, None, None), P(VOCAB_AXIS, None, None),
+                   P(VOCAB_AXIS, None, None),
+                   P(), P(), P(), P(),
+                   P(VOCAB_AXIS), P(VOCAB_AXIS)),
+        check_rep=False)
+
+    @jax.jit
+    def sync(st):
+        key, sub = jax.random.split(st.key)
+        samp = jax.random.randint(sub, (config.coherence_samples,), 0,
+                                  jnp.maximum(st.base.vocab_size, 1))
+        (corpus, tv, pkm, dm, qv, n_unique, max_count, corpus_tokens,
+         sk, sc) = sm(st.corpus, st.base.merges, st.corpus_synced,
+                      st.base.num_merges, st.base.emb, st.base.lengths,
+                      st.base.threshold, st.base.curvature, samp,
+                      st.token_hash, st.byte_lengths,
+                      st.has_vowel.astype(jnp.int32), st.hash_powers,
+                      st.morph_table, st.morph_size, st.word_table,
+                      st.word_size)
+        # 4. replicated K-sized merge of the D candidate lists.
+        tvf = jnp.transpose(tv, (1, 0, 2)).reshape(PR, D * K)
+        pkf = jnp.transpose(pkm, (1, 0, 2)).reshape(PR, D * K)
+        dmf = jnp.transpose(dm, (1, 0, 2)).reshape(PR, D * K)
+        ftv, ftp = scoring.top_k_desc(tvf, K, tiebreak=pkf)
+        fsel = jnp.minimum(ftp, D * K - 1)
+        fpk = jnp.take_along_axis(pkf, fsel, axis=1)
+        fd = jnp.take_along_axis(dmf, fsel, axis=1)
+        stored = ftv > -INF
+        hi, lo = scoring.unpack_lex(jnp.where(stored, fpk,
+                                              jnp.int32(SENT)))
+        q_i = jnp.where(stored, hi, -1)
+        q_j = jnp.where(stored, lo, -1)
+        q_dist = jnp.where(stored, fd, INF)
+        q_score = ftv
+        if PR == 1:
+            q_i = jnp.broadcast_to(q_i, (3, K))
+            q_j = jnp.broadcast_to(q_j, (3, K))
+            q_dist = jnp.broadcast_to(q_dist, (3, K))
+            q_score = jnp.broadcast_to(q_score, (3, K))
+        keys2 = jnp.stack(scoring.unpack_lex(sk), axis=-1)
+        return st.replace(
+            key=key, coh_samples=samp, corpus=corpus,
+            corpus_synced=st.base.num_merges, corpus_tokens=corpus_tokens,
+            pair_keys=keys2, pair_counts=sc,
+            max_pair_count=max_count, pair_unique=n_unique,
+            q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=q_score,
+            q_valid_total=qv,
+            needs_resync=jnp.asarray(False))
+
+    return sync
+
+
 def _corpus_shard_aligned(st, n_dev: int) -> bool:
     """True when every corpus shard boundary lands on PAD/SEP (so per-shard
     pair counting is exact). One tiny device gather; see
@@ -129,6 +332,11 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
         raise ValueError("max_vocab_size not divisible by mesh size")
     sharded_sync = (config.needs_corpus
                     and _corpus_shard_aligned(st, mesh.devices.size))
+    # v3 (hash-partitioned combine + owned-key scoring) when the dense
+    # channel is off: nothing then consumes a globally-sorted pair table.
+    use_v3 = (sharded_sync and not config.use_dense_channel
+              and not config.frozen_freqs
+              and config.freq_table_size % mesh.devices.size == 0)
     st = shard_enhanced_state(st, mesh)
     # Same (sync -> merge -> resync) pacing as the single-device
     # enhanced_state.run_enhanced: queue exhaustion mid-chunk triggers a
@@ -139,7 +347,9 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     with mesh:
         while True:
             if sharded_sync:
-                st = _sharded_sync_fn(mesh, config)(st)
+                sync_fn = (_sharded_sync_v3_fn if use_v3
+                           else _sharded_sync_fn)
+                st = sync_fn(mesh, config)(st)
                 st = _enhanced_loop_jit(st, config, remaining)
             else:
                 st = _run_enhanced(st, config, remaining)

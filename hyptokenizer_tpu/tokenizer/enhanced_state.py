@@ -258,20 +258,28 @@ def _coherence(emb, rows, cols, lengths, c, threshold, samples_idx):
 
 def _morph_scores(st: EnhancedState, rows, cols):
     """(n, 3) morphology score per phase for candidate pairs."""
-    base = st.base
-    len_i = base.lengths[rows]
-    len_j = base.lengths[cols]
+    return _morph_scores_raw(
+        st.base.lengths, st.token_hash, st.byte_lengths, st.has_vowel,
+        st.hash_powers, st.morph_table, st.morph_size, st.word_table,
+        st.word_size, rows, cols)
+
+
+def _morph_scores_raw(lengths, token_hash, byte_lengths, has_vowel,
+                      hash_powers, morph_table, morph_size, word_table,
+                      word_size, rows, cols):
+    len_i = lengths[rows]
+    len_j = lengths[cols]
     p1 = jnp.where((len_i <= 2) & (len_j <= 2), 0.8, 0.2)
     merged_hash = scoring.compose_hash(
-        st.token_hash[rows], st.token_hash[cols],
-        st.byte_lengths[cols], st.hash_powers)
+        token_hash[rows], token_hash[cols],
+        byte_lengths[cols], hash_powers)
     mkey = scoring.pack_hash(merged_hash[..., 0], merged_hash[..., 1])
-    is_morph = scoring.in_sorted_set(mkey, st.morph_table, st.morph_size)
-    merged_vowel = st.has_vowel[rows] | st.has_vowel[cols]
+    is_morph = scoring.in_sorted_set(mkey, morph_table, morph_size)
+    merged_vowel = has_vowel[rows] | has_vowel[cols]
     merged_len = len_i + len_j
     # Word validity = set membership OR the vowel fallback
     # (hierarchical_…:218-222): has_vowel ORs exactly under concatenation.
-    is_word = (scoring.in_sorted_set(mkey, st.word_table, st.word_size)
+    is_word = (scoring.in_sorted_set(mkey, word_table, word_size)
                | ((merged_len >= 3) & merged_vowel))
     p2 = jnp.where(is_morph, 0.9, 0.3)
     p3 = jnp.where(is_word, 1.0, 0.4)
@@ -287,6 +295,22 @@ def _full_scores(st: EnhancedState, config: EnhancedConfig, rows, cols,
     ``st.corpus_tokens`` (the corpus itself only changes at sync).
     """
     base = st.base
+    return _full_scores_raw(
+        config, base.emb, base.lengths, base.threshold, base.curvature,
+        st.coh_samples, st.max_pair_count, st.corpus_tokens,
+        st.token_hash, st.byte_lengths, st.has_vowel, st.hash_powers,
+        st.morph_table, st.morph_size, st.word_table, st.word_size,
+        rows, cols, dists, freqs)
+
+
+def _full_scores_raw(config: EnhancedConfig, emb, lengths, threshold,
+                     curvature, coh_samples, max_pair_count, corpus_tokens,
+                     token_hash, byte_lengths, has_vowel, hash_powers,
+                     morph_table, morph_size, word_table, word_size,
+                     rows, cols, dists, freqs):
+    """_full_scores on explicit arrays (shard_map-friendly: the sharded sync
+    scores its owned key subset with exactly this function, so per-element
+    score bits match the single-device path)."""
     alpha, beta, gamma, comp_w, morph_w = config.weights()
     n = rows.shape[0]
 
@@ -296,20 +320,22 @@ def _full_scores(st: EnhancedState, config: EnhancedConfig, rows, cols,
     compression = jnp.zeros((n,), jnp.float32)
 
     if config.use_frequency:
-        denom = jnp.log1p(jnp.maximum(st.max_pair_count, 1).astype(jnp.float32))
+        denom = jnp.log1p(jnp.maximum(max_pair_count, 1).astype(jnp.float32))
         frequency_score = jnp.log1p(freqs.astype(jnp.float32)) / jnp.maximum(
             denom, 1e-9)
-        semantic = _coherence(base.emb, rows, cols, base.lengths,
-                              base.curvature, base.threshold, st.coh_samples)
+        semantic = _coherence(emb, rows, cols, lengths,
+                              curvature, threshold, coh_samples)
     if config.use_compression:
-        total = jnp.maximum(st.corpus_tokens, 1).astype(jnp.float32)
+        total = jnp.maximum(corpus_tokens, 1).astype(jnp.float32)
         ratio = total / jnp.maximum(total - freqs.astype(jnp.float32), 1.0)
         compression = jnp.clip(ratio - 1.0, 0.0, 1.0)
 
     score = (alpha * dist_score + beta * frequency_score + gamma * semantic
              + comp_w * compression)[:, None] * jnp.ones((1, 3))
     if config.use_hierarchical:
-        score = score + morph_w * _morph_scores(st, rows, cols)
+        score = score + morph_w * _morph_scores_raw(
+            lengths, token_hash, byte_lengths, has_vowel, hash_powers,
+            morph_table, morph_size, word_table, word_size, rows, cols)
     return score
 
 

@@ -728,7 +728,7 @@ def _f32_sortable(x: jax.Array) -> jax.Array:
     return jnp.where(b >= 0, b, (~b) ^ jnp.int32(_I32_MIN))
 
 
-def top_k_desc(vals: jax.Array, k: int):
+def top_k_desc(vals: jax.Array, k: int, tiebreak: jax.Array | None = None):
     """Exact per-row top-k of a (P, T) f32 array: (values, indices), values
     descending, ties broken by lowest index — ``jax.lax.top_k`` semantics.
 
@@ -738,6 +738,13 @@ def top_k_desc(vals: jax.Array, k: int):
     int image of the scores (a (P, T) compare+reduce per round), then one
     (P, k) mini-sort of the selected entries. Execution is a few ms — the
     queue rebuild runs once per sync, not per step.
+
+    ``tiebreak``: optional (P, T) int32 — equal values are resolved by the
+    SMALLEST tiebreak (unique per row!) instead of the smallest index, via a
+    second bisection within the threshold band. The sharded sync uses the
+    packed pair key here, which equals sorted-table-position order, so a
+    device-partitioned selection reproduces the single-device tie-breaks
+    exactly (VERDICT r3 #6).
     """
     p, t = vals.shape
     kk = min(k, t)
@@ -758,12 +765,43 @@ def top_k_desc(vals: jax.Array, k: int):
     hi0 = jnp.full((p,), 2**31 - 1, jnp.int32)
     thr, _ = jax.lax.fori_loop(0, 34, body, (lo0, hi0))
 
-    # Take all strictly-above plus the first (kk - above) at the threshold.
+    # Take all strictly-above plus the (kk - above) entries at the threshold
+    # with the smallest tiebreak (default: position order).
     above = s > thr[:, None]
     n_above = jnp.sum(above.astype(jnp.int32), axis=1)
     at = s == thr[:, None]
-    at_rank = blocked_cumsum_rows(at.astype(jnp.int32)) - 1
-    take = above | (at & (at_rank < (kk - n_above)[:, None]))
+    if tiebreak is None:
+        at_rank = blocked_cumsum_rows(at.astype(jnp.int32)) - 1
+        take = above | (at & (at_rank < (kk - n_above)[:, None]))
+    else:
+        # Second bisection: smallest (kk - n_above) tiebreak values within
+        # the threshold band (tiebreaks are unique per row, so the cut is
+        # exact without a rank pass).
+        need = (kk - n_above)
+        tb = jnp.where(at, tiebreak, jnp.int32(2**31 - 1))
+
+        def body2(_, carry):
+            lo, hi = carry
+            # Floor midpoint (overflow-free): hi=mid on success converges.
+            mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+            cnt = jnp.sum((tb <= mid[:, None]).astype(jnp.int32), axis=1)
+            le = cnt >= need
+            return jnp.where(le, lo, mid + 1), jnp.where(le, mid, hi)
+
+        lo2 = jnp.full((p,), _I32_MIN, jnp.int32)
+        hi2 = jnp.full((p,), 2**31 - 1, jnp.int32)
+        _, tcut = jax.lax.fori_loop(0, 34, body2, (lo2, hi2))
+        # Strict-below plus a position-rank-limited slice AT the cut value:
+        # real tiebreaks are unique, but the sentinel padding (all at value
+        # IMAX with -inf scores) duplicates — an unguarded tb <= tcut would
+        # over-select and positional compaction could then drop real
+        # entries past slot kk.
+        strictly = at & (tb < tcut[:, None])
+        n_strict = jnp.sum(strictly.astype(jnp.int32), axis=1)
+        at_eq = at & (tb == tcut[:, None])
+        eq_rank = blocked_cumsum_rows(at_eq.astype(jnp.int32)) - 1
+        take = above | strictly | (
+            at_eq & (eq_rank < (need - n_strict)[:, None]))
 
     # Compact the selected entries to kk slots (position order), then sort
     # each row by (value desc, index asc) via (~s, idx).
@@ -777,7 +815,15 @@ def top_k_desc(vals: jax.Array, k: int):
                       jnp.take_along_axis(s, sel_idx_c, axis=1),
                       jnp.int32(_I32_MIN))
     order_key = jnp.where(sel_idx < t, ~sel_s, jnp.int32(2**31 - 1))
-    _, out_idx = jax.lax.sort((order_key, sel_idx), dimension=1, num_keys=2)
+    if tiebreak is None:
+        order_tb = sel_idx
+    else:
+        order_tb = jnp.where(
+            sel_idx < t,
+            jnp.take_along_axis(tiebreak, sel_idx_c, axis=1),
+            jnp.int32(2**31 - 1))
+    _, _, out_idx = jax.lax.sort((order_key, order_tb, sel_idx),
+                                 dimension=1, num_keys=2)
     out_idx_c = jnp.minimum(out_idx, t - 1)
     out_vals = jnp.where(out_idx < t,
                          jnp.take_along_axis(vals, out_idx_c, axis=1),

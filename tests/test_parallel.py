@@ -240,3 +240,50 @@ def test_unaligned_corpus_falls_back_to_replicated_sync():
     mesh = make_mesh()
     out = Sh.run_enhanced_sharded(tok.enh_state, tok.enh_config, 6, mesh)
     assert int(out.base.num_merges) > 0
+
+
+def test_enhanced_sharded_v3_bit_identical():
+    """The fully-sharded v3 sync (hash-partitioned combine + owned-key
+    scoring + per-device top-k with packed-key tie-breaks) produces merge
+    sequences bit-identical to the single-device path (VERDICT r3 #6)."""
+    from hyptokenizer_tpu.parallel.sharded import (_sharded_sync_v3_fn,
+                                                   run_enhanced_sharded)
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    from hyptokenizer_tpu.tokenizer.normalize import (
+        NormalizerConfig, WHITESPACE)
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc", "fgh fgi abz qrs"] * 6
+
+    def build_tok():
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {ch for l in corpus for ch in l})
+        emb = L.random_points(jax.random.PRNGKey(9), len(vocab), 8, sigma=0.6)
+        return EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=50.0, max_vocab_size=64,
+            search_block=16, corpus_sample=corpus, corpus_max_tokens=512,
+            corpus_shards=8,
+            use_hierarchical=False, use_adaptive_curvature=False,
+            use_compression_aware=False, use_dense_channel=False,
+            min_pair_freq=1, merge_batch=4, seed=3,
+            merge_policy="priority",
+            normalizer=NormalizerConfig(pre_split=WHITESPACE))
+
+    t1 = build_tok()
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 12)
+
+    t2 = build_tok()
+    mesh = make_mesh()
+    # The gate must actually select v3 for this config.
+    from hyptokenizer_tpu.parallel.sharded import _corpus_shard_aligned
+    assert _corpus_shard_aligned(t2.enh_state, mesh.devices.size)
+    assert not t2.enh_config.use_dense_channel
+    s2 = run_enhanced_sharded(t2.enh_state, t2.enh_config, 12, mesh)
+
+    n = int(s1.base.num_merges)
+    assert n == int(s2.base.num_merges) and n > 4
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
+    # Queue snapshots agree too (same candidates in the same order).
+    np.testing.assert_array_equal(np.asarray(s1.q_i), np.asarray(s2.q_i))
+    np.testing.assert_array_equal(np.asarray(s1.q_j), np.asarray(s2.q_j))

@@ -532,3 +532,23 @@ def test_replayed_corpus_never_contains_historical_pairs():
         table = {(int(h), int(l)): int(ct) for (h, l), ct in zip(kn, cn)}
         for pair in hist:
             assert table.get(pair, 0) == 0, (replay.__name__, pair)
+
+
+def test_top_k_desc_tiebreak_mode():
+    """tiebreak mode resolves equal values by the smallest tiebreak and
+    orders output by (value desc, tiebreak asc) — the sharded sync's exact
+    global-merge contract."""
+    from hyptokenizer_tpu.tokenizer import scoring as S
+    rng = np.random.default_rng(7)
+    vals = rng.choice([1.0, 2.0, 3.0], size=(2, 600)).astype(np.float32)
+    # Unique random tiebreaks (a permutation).
+    tb = np.stack([rng.permutation(600), rng.permutation(600)]).astype(
+        np.int32)
+    for k in (5, 64, 300):
+        mv, mi = S.top_k_desc(jnp.asarray(vals), k, tiebreak=jnp.asarray(tb))
+        for r in range(2):
+            order = sorted(range(600), key=lambda i: (-vals[r, i], tb[r, i]))
+            want_idx = order[:k]
+            np.testing.assert_array_equal(np.asarray(mi)[r], want_idx)
+            np.testing.assert_array_equal(np.asarray(mv)[r],
+                                          vals[r, want_idx])

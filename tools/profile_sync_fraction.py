@@ -76,9 +76,13 @@ def local_part(corpus):
 
 
 @jax.jit
-def tail_part(st, corpus, keys, counts, nu, mx):
-    keys, counts, n_unique, max_count = scoring.merge_pair_tables(
-        keys, counts, nu, T)
+def combine_part(keys, counts, nu):
+    return scoring.merge_pair_tables(keys, counts, nu, T,
+                                     max_id=cfg.base.max_vocab_size)
+
+
+@jax.jit
+def finish_part(st, corpus, keys, counts, n_unique, max_count):
     return E._sync_finish(st, cfg, corpus, keys, counts, n_unique, max_count)
 
 
@@ -87,12 +91,14 @@ def tail_part(st, corpus, keys, counts, nu, mx):
 t_local_full, (c_full, tbl_full) = timeit(local_part, st.corpus)
 t_local_8th, (c8, tbl8) = timeit(local_part, st.corpus[:CORPUS_N // 8])
 
-# Combine + tail on 8 shard tables (content: replicate the 1/8 table).
+# Combine on 8 shard tables (content: replicate the 1/8 table), then the
+# scoring/queue tail — both REPLICATED under the current sharded sync,
+# measured separately (VERDICT r3 #6: measure, don't model).
 keys8 = jnp.concatenate([tbl8[0]] * 8)
 cnts8 = jnp.concatenate([tbl8[1]] * 8)
 nus8 = jnp.stack([tbl8[2]] * 8)
-t_tail, st_synced = timeit(tail_part, st, c_full, keys8, cnts8, nus8,
-                           jnp.stack([tbl8[3]] * 8))
+t_combine, (gk, gc, gnu, gmx) = timeit(combine_part, keys8, cnts8, nus8)
+t_finish, st_synced = timeit(finish_part, st, c_full, gk, gc, gnu, gmx)
 
 # Merge loop (256 merges) from a synced state.
 from hyptokenizer_tpu.parallel.sharded import _enhanced_loop_jit
@@ -101,11 +107,13 @@ t_loop, _ = timeit(
     lambda s: _enhanced_loop_jit(jax.tree.map(jnp.array, s), cfg, 256),
     st_synced, reps=4)
 
+t_tail = t_combine + t_finish
 cycle_old = t_local_full + t_tail + t_loop
 f_old = (t_local_full + t_tail) / cycle_old
 print(f"t_local(full N={CORPUS_N}) = {t_local_full*1e3:.1f} ms")
 print(f"t_local(N/8)              = {t_local_8th*1e3:.1f} ms")
-print(f"t_combine+tail (replicated) = {t_tail*1e3:.1f} ms")
+print(f"t_combine (replicated, 8 tables) = {t_combine*1e3:.1f} ms")
+print(f"t_finish  (replicated scoring/queue tail) = {t_finish*1e3:.1f} ms")
 print(f"t_loop (256 merges, row-sharded) = {t_loop*1e3:.1f} ms")
 print(f"old replicated sync: serial fraction f = {f_old:.3f}")
 for d in (2, 4, 8, 64):
@@ -113,4 +121,7 @@ for d in (2, 4, 8, 64):
     # new: local scales 1/D (measured at 1/8 for d=8), tail replicated
     t_cycle_new = t_local_full / d + t_tail + t_loop / d
     eff_new = cycle_old / (d * t_cycle_new)
-    print(f"  D={d}: efficiency ceiling old={eff_old:.2f} new={eff_new:.2f}")
+    rep_share = t_tail / t_cycle_new if d == 8 else None
+    extra = f" replicated_share={rep_share:.2f}" if rep_share else ""
+    print(f"  D={d}: efficiency ceiling old={eff_old:.2f} "
+          f"new={eff_new:.2f}{extra}")
