@@ -185,15 +185,21 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
                    - jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0))
         seg = scoring.blocked_cumsum(head.astype(jnp.int32)) - 1
         oslot = jnp.where(head, seg, m2)
+        # Owned uniques are head-packed; score only the first OWN_CAP slots
+        # (expected fill T/D under the uniform hash — OWN_CAP = 2T/D leaves
+        # 2x headroom; beyond-cap spill raises the overflow signal).
+        own_cap = max(128, -(-2 * TD // 128) * 128)
         ok_u = jnp.full((m2 + 1,), SENT, jnp.int32).at[oslot].set(
-            fk, mode="drop")[:m2]
+            fk, mode="drop")[:own_cap]
         oc_u = jnp.zeros((m2 + 1,), jnp.int32).at[oslot].set(
-            run_sum.astype(jnp.int32), mode="drop")[:m2]
+            run_sum.astype(jnp.int32), mode="drop")[:own_cap]
         n_own = jnp.sum(head.astype(jnp.int32))
+        own_overflow = n_own > own_cap
 
         # 3b. global statistics (exact: owned key sets are disjoint).
         overflow = jax.lax.pmax(
-            (send_overflow | (nu > T) | (n_own > TD)).astype(jnp.int32),
+            (send_overflow | own_overflow | (nu > T)
+             | (n_own > TD)).astype(jnp.int32),
             VOCAB_AXIS) > 0
         n_unique = jax.lax.psum(n_own, VOCAB_AXIS)
         n_unique = jnp.where(overflow,
@@ -227,12 +233,12 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
         # 3d. local top-K over owned keys, tie-break = packed key (== the
         # single-device sorted-table position order).
         if config.use_hierarchical:
-            sv = score3.T                                  # (3, m2)
+            sv = score3.T                                  # (3, own_cap)
         else:
-            sv = score3[:, :1].T                           # (1, m2)
-        tb = jnp.broadcast_to(ok_u[None, :], (PR, m2))
+            sv = score3[:, :1].T                           # (1, own_cap)
+        tb = jnp.broadcast_to(ok_u[None, :], (PR, own_cap))
         tv, tp = scoring.top_k_desc(sv, K, tiebreak=tb)
-        sel = jnp.minimum(tp, m2 - 1)
+        sel = jnp.minimum(tp, own_cap - 1)
         found = tv > -INF
         sel_pk = jnp.where(found, jnp.take(ok_u, sel), SENT)
         sel_d = jnp.where(found, jnp.take(dists, sel), INF)

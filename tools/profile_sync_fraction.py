@@ -125,3 +125,100 @@ for d in (2, 4, 8, 64):
     extra = f" replicated_share={rep_share:.2f}" if rep_share else ""
     print(f"  D={d}: efficiency ceiling old={eff_old:.2f} "
           f"new={eff_new:.2f}{extra}")
+
+
+# ---------------------------------------------------------------- v3 pieces
+# The v3 sharded sync (parallel/sharded._sharded_sync_v3_fn) shards the
+# combine and the scoring/queue tail too; its only REPLICATED stage is the
+# K-sized final candidate merge. Per-device piece timings at their real
+# D=8 shapes (measured single-device — the virtual CPU mesh timeshares two
+# cores, so in-mesh wall times measure contention, not scaling):
+D = 8
+B = max(128, -(-2 * (T // D) // 128) * 128)
+OWN = max(128, -(-2 * (T // D) // 128) * 128)
+K = cfg.queue_size
+
+
+@jax.jit
+def v3_partition(pk, counts):
+    valid = pk != scoring.PKEY_SENT
+    h = (pk ^ (pk >> 15)) * jnp.int32(-1640531527)
+    dest = jnp.where(valid, (h & jnp.int32(0x7FFFFFFF)) % D, 0)
+    rank = jnp.zeros_like(pk)
+    for d in range(D):
+        m = valid & (dest == d)
+        rank = jnp.where(m, scoring.blocked_cumsum(m.astype(jnp.int32)) - 1,
+                         rank)
+    slot = jnp.where(valid & (rank < B), dest * B + rank, D * B)
+    sk = jnp.full((D * B + 1,), scoring.PKEY_SENT, jnp.int32).at[slot].set(
+        jnp.where(valid, pk, scoring.PKEY_SENT), mode="drop")[:D * B]
+    sc = jnp.zeros((D * B + 1,), jnp.int32).at[slot].set(
+        jnp.where(valid, counts, 0), mode="drop")[:D * B]
+    return sk, sc
+
+
+@jax.jit
+def v3_own_combine(fk, fc):
+    fk, fc = jax.lax.sort((fk, fc), num_keys=1)
+    m2 = fk.shape[0]
+    idx = jnp.arange(m2, dtype=jnp.int32)
+    bnd = jnp.concatenate([jnp.ones((1,), jnp.bool_), fk[1:] != fk[:-1]])
+    head = bnd & (fk != scoring.PKEY_SENT)
+    csum = scoring.blocked_cumsum(fc)
+    nbp = scoring.blocked_cummin_reverse(jnp.where(bnd, idx, m2))
+    nbp_excl = jnp.concatenate([nbp[1:], jnp.full((1,), m2, jnp.int32)])
+    run_sum = (csum[jnp.minimum(nbp_excl - 1, m2 - 1)]
+               - jnp.where(idx > 0, csum[jnp.maximum(idx - 1, 0)], 0))
+    seg = scoring.blocked_cumsum(head.astype(jnp.int32)) - 1
+    oslot = jnp.where(head, seg, m2)
+    ok_u = jnp.full((m2 + 1,), scoring.PKEY_SENT, jnp.int32).at[oslot].set(
+        fk, mode="drop")[:OWN]
+    oc_u = jnp.zeros((m2 + 1,), jnp.int32).at[oslot].set(
+        run_sum.astype(jnp.int32), mode="drop")[:OWN]
+    return ok_u, oc_u
+
+
+@jax.jit
+def v3_score_topk(st, ok_u, oc_u):
+    valid_u = ok_u != scoring.PKEY_SENT
+    hi_u, lo_u = scoring.unpack_lex(ok_u)
+    rows = jnp.where(valid_u, hi_u, 0)
+    cols = jnp.where(valid_u, lo_u, 0)
+    dists = L.distance(st.base.emb[rows], st.base.emb[cols],
+                       st.base.curvature)
+    dists = jnp.where(valid_u, dists, jnp.inf)
+    score3 = E._full_scores(st, cfg, rows, cols, dists, oc_u)
+    okc = valid_u & (oc_u >= cfg.min_pair_freq)
+    score3 = jnp.where(okc[:, None], score3, -jnp.inf)
+    tb = ok_u[None, :]
+    return scoring.top_k_desc(score3[:, :1].T, K, tiebreak=tb)
+
+
+@jax.jit
+def v3_final_merge(tv, pk, dm):
+    ftv, ftp = scoring.top_k_desc(tv, K, tiebreak=pk)
+    fsel = jnp.minimum(ftp, tv.shape[1] - 1)
+    return ftv, jnp.take_along_axis(pk, fsel, axis=1), \
+        jnp.take_along_axis(dm, fsel, axis=1)
+
+
+pk_full = scoring.pack_lex(tbl_full[0][:, 0], tbl_full[0][:, 1])
+t_part, (sk, sc) = timeit(v3_partition, pk_full, tbl_full[1])
+t_ownc, (ok_u, oc_u) = timeit(v3_own_combine, sk, sc)
+t_sco, (tv1, tp1) = timeit(v3_score_topk, st_synced, ok_u, oc_u)
+tvm = jnp.tile(tv1, (1, D))
+pkm = jnp.tile(jnp.where(tv1 > -jnp.inf, jnp.take(
+    ok_u, jnp.minimum(tp1, OWN - 1)), scoring.PKEY_SENT), (1, D))
+dmm = jnp.zeros_like(tvm)
+t_fin, _ = timeit(v3_final_merge, tvm, pkm, dmm)
+
+cycle_v3 = t_local_8th + t_part + t_ownc + t_sco + t_fin + t_loop / D
+print("\n--- v3 sharded sync decomposition (per-device work at D=8) ---")
+print(f"t_local(N/8)      = {t_local_8th*1e3:.1f} ms   (scales 1/D)")
+print(f"t_partition       = {t_part*1e3:.1f} ms   (O(T) per device)")
+print(f"t_own_combine(2T) = {t_ownc*1e3:.1f} ms   (O(T) per device)")
+print(f"t_score+topk(2T/D)= {t_sco*1e3:.1f} ms   (scales 1/D)")
+print(f"t_final_merge(DK) = {t_fin*1e3:.1f} ms   (REPLICATED)")
+print(f"v3 cycle at D=8   = {cycle_v3*1e3:.1f} ms vs old replicated "
+      f"{(t_local_full + t_tail + t_loop)*1e3:.1f} ms")
+print(f"v3 replicated share at D=8 = {t_fin / cycle_v3:.3f}")
