@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--max-lines", type=int, default=2000)
     p.add_argument("--use-hyperbolic-embeddings",
                    action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--inject-scale", choices=["raw", "matched"],
+                   default="matched",
+                   help="injected-embedding scaling: raw = copy values "
+                        "(reference behavior; std ~12x the BERT init, the "
+                        "round-3 cls regression), matched = rescale to the "
+                        "0.02 init std preserving directions")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     setup_logging()
@@ -80,7 +86,8 @@ def main(argv=None):
                                                 max_length=args.max_length)
         model = nlp.build_bert_mlm(
             vocab_size, hidden=args.hidden_size, layers=args.num_layers,
-            heads=args.num_heads, seed=args.seed, embeddings=emb)
+            heads=args.num_heads, seed=args.seed, embeddings=emb,
+            inject_scale=args.inject_scale)
         _, ppl = nlp.mlm_train(
             model, encoded, epochs=args.epochs, batch_size=args.batch_size,
             max_length=args.max_length, lr=args.lr, seed=args.seed,
@@ -115,7 +122,7 @@ def main(argv=None):
         model = nlp.build_bert_classifier(
             vocab_size, num_labels=n_labels, hidden=args.hidden_size,
             layers=args.num_layers, heads=args.num_heads, seed=args.seed,
-            embeddings=emb)
+            embeddings=emb, inject_scale=args.inject_scale)
         _, acc = nlp.classification_train(
             model, encoded, labels, epochs=args.epochs,
             batch_size=args.batch_size, max_length=args.max_length,

@@ -104,21 +104,32 @@ def export_euclidean_embeddings(lorentz_emb) -> np.ndarray:
 
 
 def _fit_embedding_table(table: np.ndarray, vocab_size: int,
-                         hidden: int) -> np.ndarray:
+                         hidden: int, inject_scale: str = "raw") -> np.ndarray:
     """Fit an exported (V, d) table into a (vocab_size, hidden) BERT table:
-    zero-pad / truncate dims, keep scale (reference copies raw,
-    train_nlp_tasks.py:249-253)."""
+    zero-pad / truncate dims.
+
+    ``inject_scale``: "raw" copies values unscaled (the reference's
+    behavior, train_nlp_tasks.py:249-253) — but the exported tangent
+    vectors measure std ~0.24, 12x BERT's 0.02 init std, so injected rows
+    dominate the word+pos+type sum and the optimizer must unlearn the
+    scale first (the round-3 classification regression, VERDICT r3 #5).
+    "matched" rescales the table to the 0.02 init std, preserving
+    directions (see RESULTS.md round-4 injection study)."""
     out = 0.02 * np.random.default_rng(0).standard_normal(
         (vocab_size, hidden)).astype(np.float32)
     v = min(vocab_size, table.shape[0])
     d = min(hidden, table.shape[1])
-    out[:v, :d] = table[:v, :d]
+    src = table[:v, :d]
+    if inject_scale == "matched":
+        src = src * (0.02 / max(float(src.std()), 1e-8))
+    out[:v, :d] = src
     return out
 
 
 def build_bert_mlm(vocab_size: int, hidden: int = 256, layers: int = 4,
                    heads: int = 4, max_pos: int = 512, seed: int = 0,
-                   embeddings: Optional[np.ndarray] = None):
+                   embeddings: Optional[np.ndarray] = None,
+                   inject_scale: str = "raw"):
     """Fresh FlaxBertForMaskedLM (+ optional hyperbolic embedding injection)."""
     from transformers import BertConfig, FlaxBertForMaskedLM
     config = BertConfig(
@@ -129,7 +140,8 @@ def build_bert_mlm(vocab_size: int, hidden: int = 256, layers: int = 4,
     model = FlaxBertForMaskedLM(config, seed=seed)
     if embeddings is not None:
         params = model.params
-        tbl = _fit_embedding_table(embeddings, vocab_size, hidden)
+        tbl = _fit_embedding_table(embeddings, vocab_size, hidden,
+                                   inject_scale)
         params["bert"]["embeddings"]["word_embeddings"]["embedding"] = \
             jnp.asarray(tbl)
         model.params = params
@@ -139,7 +151,8 @@ def build_bert_mlm(vocab_size: int, hidden: int = 256, layers: int = 4,
 def build_bert_classifier(vocab_size: int, num_labels: int, hidden: int = 256,
                           layers: int = 4, heads: int = 4, max_pos: int = 512,
                           seed: int = 0,
-                          embeddings: Optional[np.ndarray] = None):
+                          embeddings: Optional[np.ndarray] = None,
+                          inject_scale: str = "raw"):
     from transformers import BertConfig, FlaxBertForSequenceClassification
     config = BertConfig(
         vocab_size=vocab_size, hidden_size=hidden,
@@ -150,7 +163,8 @@ def build_bert_classifier(vocab_size: int, num_labels: int, hidden: int = 256,
     model = FlaxBertForSequenceClassification(config, seed=seed)
     if embeddings is not None:
         params = model.params
-        tbl = _fit_embedding_table(embeddings, vocab_size, hidden)
+        tbl = _fit_embedding_table(embeddings, vocab_size, hidden,
+                                   inject_scale)
         params["bert"]["embeddings"]["word_embeddings"]["embedding"] = \
             jnp.asarray(tbl)
         model.params = params
