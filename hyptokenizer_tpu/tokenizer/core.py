@@ -293,7 +293,13 @@ class HyperbolicTokenizer:
 
     @staticmethod
     def _parse_artifacts(path: str):
-        """Read the base artifact set: (vocab, emb, merges, config)."""
+        """Read the base artifact set: (vocab, emb, merges, config).
+
+        ``config.json`` may be absent: the reference's ENHANCED save writes
+        only ``enhanced_config.json`` (enhanced_…:1248-1262, which carries
+        the base keys too); the enhanced loader merges the two. Torch
+        embeddings may carry grad (the reference saves the live parameter)
+        — detach before converting."""
         with open(os.path.join(path, "vocab.json")) as f:
             vocab = json.load(f)
         npy = os.path.join(path, "embeddings.npy")
@@ -302,9 +308,13 @@ class HyperbolicTokenizer:
         else:
             import torch
             emb = torch.load(os.path.join(path, "embeddings.pt"),
-                             map_location="cpu", weights_only=True).numpy()
-        with open(os.path.join(path, "config.json")) as f:
-            config = json.load(f)
+                             map_location="cpu",
+                             weights_only=True).detach().numpy()
+        cpath = os.path.join(path, "config.json")
+        config = {}
+        if os.path.exists(cpath):
+            with open(cpath) as f:
+                config = json.load(f)
         with open(os.path.join(path, "merges.json")) as f:
             merges = [tuple(m) for m in json.load(f)]
         return vocab, emb, merges, config
@@ -349,8 +359,8 @@ class HyperbolicTokenizer:
         tok = cls(
             vocab=vocab[:n_init],
             embeddings=emb[:n_init],
-            curvature=config["curvature"],
-            merge_threshold=config["merge_threshold"],
+            curvature=config.get("curvature", 1.0),
+            merge_threshold=config.get("merge_threshold", 0.1),
             max_vocab_size=config.get("max_vocab_size", 100_000),
             use_approximate_search=config.get("use_approximate_search", True),
             normalizer=NormalizerConfig.from_json(config.get("normalizer")),

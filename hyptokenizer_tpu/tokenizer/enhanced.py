@@ -564,6 +564,13 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             ecfg = {"use_frequency_aware": False, "use_hierarchical": False,
                     "use_adaptive_curvature": False,
                     "use_compression_aware": False}
+        # The reference's enhanced save writes NO config.json — its
+        # enhanced_config.json carries the base keys too (enhanced_…:
+        # 1248-1262). Fill missing base keys from it.
+        for key in ("curvature", "merge_threshold", "max_vocab_size",
+                    "use_approximate_search"):
+            if key not in config and key in ecfg:
+                config[key] = ecfg[key]
 
         n_init = len(vocab) - len(merges)
         tok = cls(
@@ -611,10 +618,19 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         # Phase (hierarchical curriculum position).
         tok.current_phase = int(ecfg.get("current_phase", 1))
 
-        # Trained curvature: the .npy device scalar wins over the json float.
+        # Trained curvature: the saved scalar wins over the json float
+        # (.npy from this framework; .pt from the reference's save).
+        cval = None
         cnpy = os.path.join(path, "curvature.npy")
-        if ecfg.get("use_adaptive_curvature") and os.path.exists(cnpy):
-            cval = float(np.load(cnpy))
+        cpt = os.path.join(path, "curvature.pt")
+        if ecfg.get("use_adaptive_curvature"):
+            if os.path.exists(cnpy):
+                cval = float(np.load(cnpy))
+            elif os.path.exists(cpt):
+                import torch
+                cval = float(torch.load(cpt, map_location="cpu",
+                                        weights_only=True).detach())
+        if cval is not None:
             tok.curvature = cval
             st = st.replace(base=st.base.replace(
                 curvature=jnp.asarray(cval, jnp.float32)))

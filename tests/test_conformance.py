@@ -121,3 +121,44 @@ def test_reference_artifacts_load_here(tmp_path):
     assert tok.vocab == vocab
     assert tok.tokenize("abcab") == ["abc", "ab"]
     assert tok.encode("abcab") == [8, 7]
+
+
+def test_reference_enhanced_artifacts_load_here(tmp_path):
+    """A reference-SAVED enhanced artifact reconstructs through
+    EnhancedHyperbolicTokenizer.load (feature flags, weights, frequencies).
+
+    The reference's enhanced save writes no config.json (base keys live in
+    enhanced_config.json), its embeddings.pt carries grad, and its module
+    has an import bug (poincare_to_lorentz imported from lorentz_model
+    where it never existed — it lives in poincare_ball); the shim below
+    reproduces what any runnable deployment of the reference must do."""
+    import embedding.lorentz_model as lm
+    import embedding.poincare_ball as pb
+    lm.poincare_to_lorentz = pb.poincare_to_lorentz
+    lm.lorentz_to_poincare = pb.lorentz_to_poincare
+    from tokenizer.enhanced_fast_hyperbolic_merge import (
+        EnhancedFastHyperbolicTokenizer as RefEnh)
+
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>", "a", "b", "c", "d", " "]
+    emb = torch.randn(len(vocab), 9) * 0.1
+    emb[:, 0] = torch.sqrt(1 + (emb[:, 1:] ** 2).sum(-1))
+    ref = RefEnh(vocab=vocab, embeddings=emb, device=torch.device("cpu"),
+                 use_approximate_search=False,
+                 use_frequency_aware=True, use_hierarchical=False,
+                 use_adaptive_curvature=False, use_compression_aware=False,
+                 corpus_path=None, alpha=0.3, beta=0.5, gamma=0.2)
+    ref.pair_frequencies = {("a", "b"): 7, ("b", "c"): 3}
+    ref.merge_history = []
+    path = str(tmp_path / "refenh")
+    ref.save(path)
+
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    ours = EnhancedHyperbolicTokenizer.load(path)
+    cfg = ours.enh_config
+    assert cfg.use_frequency and not cfg.use_hierarchical
+    assert not cfg.use_adaptive_curvature and not cfg.use_compression
+    assert (cfg.alpha, cfg.beta, cfg.gamma) == (0.3, 0.5, 0.2)
+    # "|"-separated frequency keys (the reference's format) restore.
+    assert ours.pair_frequencies == {("a", "b"): 7, ("b", "c"): 3}
+    assert cfg.frozen_freqs
+    assert ours.encode("ab") == [4, 5]  # no merges: char ids
