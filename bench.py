@@ -61,6 +61,10 @@ import jax.numpy as jnp
 # 2nd-process compile 0.42s vs 1.59s cold).
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
+# Persist even small entries: sub-second compiles through the tunnel can
+# stall ~10s behind a busy dispatch queue, so a cache hit is worth far
+# more than the compile time the default 1s threshold assumes.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 REF_BASELINE_STEPS_PER_SEC = 12.13  # BASELINE.md, measured on the reference
 

@@ -47,6 +47,9 @@ def enable_compile_cache() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # Persist small entries too: a sub-second compile can stall ~10s behind
+    # a busy dispatch queue on the tunneled transport.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 def set_seeds(seed: int = 42) -> None:

@@ -129,7 +129,12 @@ class HyperbolicTokenizer:
         n_host = len(self.merge_history)
         if n_dev == n_host:
             return 0
-        pairs = np.asarray(self.state.merges[n_host:n_dev])
+        # Whole-buffer transfer (400 KB at 50k vocab), sliced host-side: a
+        # device-side merges[a:b] slice auto-jits a fresh dynamic_slice per
+        # size, and through the tunneled transport a mid-run compile can
+        # stall ~10 s behind the dispatch queue (measured; the same op
+        # compiles in 0.4 s when the queue is idle).
+        pairs = np.asarray(self.state.merges)[n_host:n_dev]
         for a, b in pairs:
             tok_a, tok_b = self.vocab[int(a)], self.vocab[int(b)]
             merged = tok_a + tok_b

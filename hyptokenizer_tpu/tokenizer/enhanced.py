@@ -536,7 +536,8 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             np.save(os.path.join(path, "curvature.npy"),
                     np.asarray(self.state.curvature))
             np.save(os.path.join(path, "merge_pairs.npy"),
-                    np.asarray(self.state.merges[: int(self.state.num_merges)]))
+                    np.asarray(self.state.merges)
+                    [: int(self.state.num_merges)])
 
     @classmethod
     def load(cls, path: str, device=None) -> "EnhancedHyperbolicTokenizer":
