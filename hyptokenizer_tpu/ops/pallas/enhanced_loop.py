@@ -28,7 +28,7 @@ Corpus-only (bpe) mode skips best_dist/best_j maintenance entirely — the
 dense channel never reads them, and skipping the per-batch O(V d) fold is
 most of this kernel's speed advantage in that mode. The invariant is
 STRUCTURAL since round 4: corpus-only states are built with the arrays
-POISONED (NaN/-1, MergeConfig.init_candidates=False) and
+POISONED (-inf/-1, MergeConfig.init_candidates=False) and
 enhanced_state.run_enhanced raises if a dense-channel config ever meets a
 poisoned state (VERDICT r3 #7); core.load rebuilds candidates with a full
 re-scan for loaded artifacts.

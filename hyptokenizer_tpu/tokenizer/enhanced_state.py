@@ -823,7 +823,7 @@ def run_enhanced(st: EnhancedState, config: EnhancedConfig,
     the kernel's shape preconditions fail, the jitted ``lax.while_loop``.
     """
     if (config.use_dense_channel or not config.needs_corpus) and \
-            bool(jnp.isnan(st.base.best_dist[0])):
+            bool(st.base.best_dist[0] == -jnp.inf):
         # Poisoned dense-candidate arrays (state trained corpus-only, where
         # candidate maintenance is skipped by design — MergeConfig
         # .init_candidates). Failing loudly here beats silently consuming

@@ -62,10 +62,13 @@ class MergeConfig:
     # Full-pass backend: None = auto (Pallas on TPU, XLA elsewhere).
     use_pallas: bool | None = struct.field(pytree_node=False, default=None)
     # False: skip the O(V0^2 d) initial candidate pass and POISON
-    # best_dist/best_j (NaN/-1) instead. Set by corpus-only (bpe-mode)
+    # best_dist/best_j (-inf/-1) instead. Set by corpus-only (bpe-mode)
     # enhanced training, where no path reads the dense-candidate arrays: the
     # poison makes any accidental read fail loudly (VERDICT r3 #7) and the
     # init skips a full 50k^2 pairwise pass whose result would be dead.
+    # -inf, not NaN: real best_dist values are nonnegative (or +inf for
+    # "no candidate"), so -inf is unambiguous — and unlike NaN it survives
+    # jax.distributed's cross-process device_put equality check.
     init_candidates: bool = struct.field(pytree_node=False, default=True)
 
 
@@ -136,7 +139,7 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     if not config.init_candidates:
         # Dense channel unused (corpus-only enhanced mode): poison instead
         # of computing (see MergeConfig.init_candidates).
-        best_dist = jnp.full((max_v,), jnp.nan, jnp.float32)
+        best_dist = jnp.full((max_v,), -jnp.inf, jnp.float32)
         best_j = jnp.full((max_v,), -1, jnp.int32)
     elif use_pallas:
         # History is empty at init: the fused kernel applies directly.

@@ -68,6 +68,20 @@ def main():
     tok.optimize_merges(steps=24, log_every=12)
     result["enhanced_merges"] = [list(m) for m in tok.merge_history]
 
+    # --- v3 fully-sharded sync across the process boundary ---
+    # Corpus-only config + shard-aligned corpus selects the hash-partitioned
+    # sync (parallel/sharded._sharded_sync_v3_fn): the all_to_all and the
+    # psum/pmax statistics ride the cross-process transport here.
+    tok2 = EnhancedHyperbolicTokenizer(
+        vocab, emb, merge_threshold=50.0, max_vocab_size=256,
+        corpus_sample=corpus, corpus_max_tokens=1024, corpus_shards=8,
+        merge_batch=4, search_block=64, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        use_dense_channel=False, merge_policy="priority",
+        freq_table_size=8192, queue_size=512, seed=0, mesh=mesh)
+    tok2.optimize_merges(steps=16, log_every=8)
+    result["v3_merges"] = [list(m) for m in tok2.merge_history]
+
     with open(out_path, "w") as f:
         json.dump(result, f)
     print(f"proc {proc_id}: ok ({n} merges, "

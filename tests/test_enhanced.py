@@ -442,10 +442,10 @@ def test_bpe_mode_poisons_dense_candidates():
     tok = make_tok(thr=50.0, use_hierarchical=False,
                    use_adaptive_curvature=False, use_compression_aware=False,
                    use_dense_channel=False, merge_batch=4)
-    assert np.isnan(np.asarray(tok.state.best_dist)).all()
+    assert (np.asarray(tok.state.best_dist) == -np.inf).all()
     tok.optimize_merges(steps=8, log_every=8)
     assert len(tok.merge_history) > 0          # training unaffected
-    assert np.isnan(np.asarray(tok.enh_state.base.best_dist[0]))
+    assert np.asarray(tok.enh_state.base.best_dist[0]) == -np.inf
     # Flipping the dense channel on against the poisoned state is loud.
     dense_cfg = tok.enh_config.replace(use_dense_channel=True)
     with pytest.raises(ValueError, match="poisoned"):

@@ -83,6 +83,10 @@ def test_two_process_merge_sequences_match_single_process(tmp_path):
         single = json.load(f)
     assert single["merges"] == results[0]["merges"]
     assert single["enhanced_merges"] == results[0]["enhanced_merges"]
+    # v3 hash-partitioned sync: identical across processes AND vs single.
+    assert results[0]["v3_merges"] == results[1]["v3_merges"]
+    assert single["v3_merges"] == results[0]["v3_merges"]
+    assert len(single["v3_merges"]) > 5
 
 
 def test_bench_scaling_multihost_two_process(tmp_path):
