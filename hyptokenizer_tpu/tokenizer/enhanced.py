@@ -237,6 +237,12 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 base=self.enh_state.base.replace(
                     threshold=jnp.asarray(
                         self.enh_config.phase_thresholds[0], jnp.float32)))
+        # Materialize the ctor's device work NOW: the tunneled TPU backend
+        # defers execution until a host fetch and flushes its queue FIFO, so
+        # without this pull the whole ctor graph (corpus upload, buffer
+        # assembly) would be billed to the first training chunk
+        # (BASELINE.md round-4 variance note). One small transfer suffices.
+        np.asarray(self.enh_state.token_hash[:1])
 
     # ------------------------------------------------------------------ setup
     def _encode_initial_corpus(self, texts: List[str],
