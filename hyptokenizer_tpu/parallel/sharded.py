@@ -244,7 +244,13 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
         sel_d = jnp.where(found, jnp.take(dists, sel), INF)
 
         # State pair table: first T/D owned uniques per device (key order;
-        # hash-partition layout — content-complete unless `overflow`).
+        # hash-partition layout). Content-complete only when every device
+        # owns <= T/D uniques; per-device hash imbalance beyond T/D raises
+        # the `overflow` signal (3b includes n_own > TD), which surfaces as
+        # the host-side pair-table warning — a post-v3 save()'s
+        # frequencies.json export is best-effort under that warning (the
+        # LOOP is unaffected: corpus-only mode rebuilds from the corpus at
+        # the next sync and never reads this table). (ADVICE r4 #2)
         return (c, tv[None], sel_pk[None], sel_d[None], qv,
                 n_unique, max_count, corpus_tokens,
                 ok_u[:TD], oc_u[:TD])
@@ -340,8 +346,13 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
                     and _corpus_shard_aligned(st, mesh.devices.size))
     # v3 (hash-partitioned combine + owned-key scoring) when the dense
     # channel is off: nothing then consumes a globally-sorted pair table.
+    # pack_lex keys (hash partition, combine sort, tie-breaks) are only
+    # injective/order-preserving for ids <= PACK_MAX_ID - 1, so oversized
+    # vocabs fall back to the v2 sharded sync (ADVICE r4 #1).
+    from hyptokenizer_tpu.tokenizer import scoring as _scoring
     use_v3 = (sharded_sync and not config.use_dense_channel
               and not config.frozen_freqs
+              and config.base.max_vocab_size <= _scoring.PACK_MAX_ID
               and config.freq_table_size % mesh.devices.size == 0)
     st = shard_enhanced_state(st, mesh)
     # Same (sync -> merge -> resync) pacing as the single-device
@@ -350,8 +361,10 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     # sequences stay identical.
     remaining = n_steps
     before = int(st.base.num_merges)
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
     with mesh:
         while True:
+            E.DISPATCH_ROUNDS += 1
             if sharded_sync:
                 sync_fn = (_sharded_sync_v3_fn if use_v3
                            else _sharded_sync_fn)

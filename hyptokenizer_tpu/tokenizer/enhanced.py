@@ -126,6 +126,17 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                                        or use_compression_aware
                                        or use_hierarchical)
         self._init_candidates = use_dense_channel or not needs_corpus
+        # Ctor cost attribution (VERDICT r4 #2: on the tunneled backend the
+        # ctor is the dominant end-to-end cost and was unmeasured). Phases:
+        # base (super().__init__ incl. any dense-candidate init pass),
+        # corpus (host encode + upload dispatch), morph (host corpus
+        # analysis), assemble (device buffer build dispatch), flush (the
+        # one host fetch that forces all deferred device work + transfers),
+        # compile (jit trace+compile seconds attributed to the ctor).
+        from hyptokenizer_tpu.utils.metrics import compile_seconds
+        _t_ctor0 = time.perf_counter()
+        _compile0 = compile_seconds()
+        _t0 = _t_ctor0
         super().__init__(
             vocab, embeddings, curvature=curvature,
             merge_threshold=merge_threshold, lr=lr, device=device,
@@ -168,8 +179,10 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             queue_size=max(min(queue_size, freq_table_size), merge_batch, 1),
         )
         self.current_phase = 1
+        _base_s = time.perf_counter() - _t0
 
         # --- corpus ---
+        _t0 = time.perf_counter()
         texts: List[str] = []
         if corpus_path:
             with open(corpus_path, encoding="utf-8") as f:
@@ -180,13 +193,17 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         self.corpus_shards = corpus_shards
         corpus_ids = self._encode_initial_corpus(texts, corpus_max_tokens,
                                                  corpus_shards)
+        _corpus_s = time.perf_counter() - _t0
 
         # --- morphology tables ---
+        _t0 = time.perf_counter()
         if use_hierarchical and texts:
             self.morphology = morphology.analyze_corpus(texts)
         else:
             self.morphology = morphology.MorphologyTables()
         mk, ms, wk, ws = self.morphology.hash_tables()
+        _morph_s = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
 
         # --- device state ---
         # Host computes only the n0 initial-vocab rows; padding to max_v and
@@ -237,12 +254,24 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 base=self.enh_state.base.replace(
                     threshold=jnp.asarray(
                         self.enh_config.phase_thresholds[0], jnp.float32)))
+        _assemble_s = time.perf_counter() - _t0
         # Materialize the ctor's device work NOW: the tunneled TPU backend
         # defers execution until a host fetch and flushes its queue FIFO, so
         # without this pull the whole ctor graph (corpus upload, buffer
         # assembly) would be billed to the first training chunk
         # (BASELINE.md round-4 variance note). One small transfer suffices.
+        _t0 = time.perf_counter()
         np.asarray(self.enh_state.token_hash[:1])
+        _flush_s = time.perf_counter() - _t0
+        self.ctor_stats = {
+            "ctor_total_s": round(time.perf_counter() - _t_ctor0, 3),
+            "ctor_base_s": round(_base_s, 3),
+            "ctor_corpus_s": round(_corpus_s, 3),
+            "ctor_morph_s": round(_morph_s, 3),
+            "ctor_assemble_s": round(_assemble_s, 3),
+            "ctor_flush_s": round(_flush_s, 3),
+            "ctor_compile_s": round(compile_seconds() - _compile0, 3),
+        }
 
     # ------------------------------------------------------------------ setup
     def _encode_initial_corpus(self, texts: List[str],
@@ -366,6 +395,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         prev_merges = start_merges
         from hyptokenizer_tpu.utils.metrics import compile_seconds
         prev_compile_s = compile_seconds()
+        prev_rounds = E.DISPATCH_ROUNDS
         while done < steps:
             if target_vocab_size is not None and \
                     len(self.vocab) >= target_vocab_size:
@@ -425,14 +455,21 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
                 # Mid-run (re)compiles visible in the artifact (VERDICT r3
                 # #3): jit trace+compile seconds attributed to this chunk.
                 "chunk_compile_s": max(0.0, round(
-                    compile_seconds() - prev_compile_s, 3)),
+                    (now_compile := compile_seconds()) - prev_compile_s, 3)),
+                # Sync rounds this chunk took (> 1 = queue exhaustion forced
+                # mid-chunk resyncs; attributes slow chunks — VERDICT r4 #8).
+                "chunk_syncs": E.DISPATCH_ROUNDS - prev_rounds,
                 "pair_table_unique": int(self.enh_state.pair_unique),
                 "min_dist": dstats["min"],
                 "max_dist": dstats["max"],
                 "mean_dist": dstats["mean"],
                 "std_dist": dstats["std"],
             }
-            prev_compile_s += stat["chunk_compile_s"]
+            # Advance by the raw reading, not the rounded/clamped stat:
+            # accumulated rounding residue would misattribute to later
+            # chunks (ADVICE r4 #4).
+            prev_compile_s = now_compile
+            prev_rounds = E.DISPATCH_ROUNDS
             if stat["pair_table_unique"] > self.enh_config.freq_table_size:
                 logger.warning(
                     "pair table overflow: %d unique corpus pairs > table "

@@ -764,6 +764,11 @@ _FUSED_DISABLED = False
 # in the headline JSON so a silent fallback is visible in the artifact
 # (VERDICT r2 #2).
 LAST_BACKEND = None
+# Cumulative count of chunk dispatch rounds (each = one corpus sync + one
+# loop run) in this process. optimize_merges diffs consecutive readings to
+# report per-chunk `chunk_syncs` — a chunk that needed several syncs (queue
+# exhaustion) is visibly slower for an attributable reason (VERDICT r4 #8).
+DISPATCH_ROUNDS = 0
 
 
 def _disable_fused() -> None:
@@ -782,7 +787,8 @@ def _disable_fused() -> None:
 def _run_chunk_dispatch(st: EnhancedState, config: EnhancedConfig,
                         n_steps: int) -> EnhancedState:
     """One sync + merge round on the best available backend."""
-    global LAST_BACKEND
+    global LAST_BACKEND, DISPATCH_ROUNDS
+    DISPATCH_ROUNDS += 1
     use_pallas = config.base.use_pallas
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
