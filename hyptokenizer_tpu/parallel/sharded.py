@@ -117,10 +117,12 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
     are computed with the same elementwise formula on the same values, and
     every top-K stage tie-breaks by the packed pair key, which equals the
     single-device sorted-table-position order (scoring.top_k_desc's
-    tiebreak mode). Gated to corpus-only configs: the state pair table is
-    materialized in hash-partition order, which the dense channel's binary
-    search could not consume (nothing reads it in corpus-only mode — the
-    next sync rebuilds from the corpus).
+    tiebreak mode). The state pair table is materialized in hash-partition
+    order (D per-owner sorted slices); corpus-only configs never read it
+    mid-chunk (the next sync rebuilds from the corpus), and dense-channel
+    configs read it through scoring.lookup_pair_counts_hashed — the
+    sharded wrapper marks the loop config with ``pair_table_hashed=D``
+    (VERDICT r4 #3).
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -154,9 +156,10 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
         valid = pk != SENT
 
         # 2. hash-partition (dest uniform in the key, independent of the
-        # key ORDER so ownership balances statistically).
-        h = (pk ^ (pk >> 15)) * jnp.int32(-1640531527)  # Fibonacci mix
-        dest = jnp.where(valid, (h & jnp.int32(0x7FFFFFFF)) % D, 0)
+        # key ORDER so ownership balances statistically). scoring.pair_dest
+        # is the single source of truth: the in-loop hashed lookup
+        # (dense channel) must address the same owner slices.
+        dest = jnp.where(valid, scoring.pair_dest(pk, D), 0)
         rank = jnp.zeros_like(pk)
         for d in range(D):
             m = valid & (dest == d)
@@ -281,25 +284,7 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
                       st.morph_table, st.morph_size, st.word_table,
                       st.word_size)
         # 4. replicated K-sized merge of the D candidate lists.
-        tvf = jnp.transpose(tv, (1, 0, 2)).reshape(PR, D * K)
-        pkf = jnp.transpose(pkm, (1, 0, 2)).reshape(PR, D * K)
-        dmf = jnp.transpose(dm, (1, 0, 2)).reshape(PR, D * K)
-        ftv, ftp = scoring.top_k_desc(tvf, K, tiebreak=pkf)
-        fsel = jnp.minimum(ftp, D * K - 1)
-        fpk = jnp.take_along_axis(pkf, fsel, axis=1)
-        fd = jnp.take_along_axis(dmf, fsel, axis=1)
-        stored = ftv > -INF
-        hi, lo = scoring.unpack_lex(jnp.where(stored, fpk,
-                                              jnp.int32(SENT)))
-        q_i = jnp.where(stored, hi, -1)
-        q_j = jnp.where(stored, lo, -1)
-        q_dist = jnp.where(stored, fd, INF)
-        q_score = ftv
-        if PR == 1:
-            q_i = jnp.broadcast_to(q_i, (3, K))
-            q_j = jnp.broadcast_to(q_j, (3, K))
-            q_dist = jnp.broadcast_to(q_dist, (3, K))
-            q_score = jnp.broadcast_to(q_score, (3, K))
+        q_i, q_j, q_dist, q_score = _merge_topk_lists(tv, pkm, dm, D, K, PR)
         keys2 = jnp.stack(scoring.unpack_lex(sk), axis=-1)
         return st.replace(
             key=key, coh_samples=samp, corpus=corpus,
@@ -309,6 +294,152 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
             q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=q_score,
             q_valid_total=qv,
             needs_resync=jnp.asarray(False))
+
+    return sync
+
+
+def _merge_topk_lists(tv, pkm, dm, D: int, K: int, PR: int):
+    """Replicated K-sized merge of D per-device candidate top-K lists.
+
+    Inputs are the shard_map outputs stacked on the device axis:
+    tv/pkm/dm of shape (D, PR, K) — scores, packed pair keys, distances.
+    Tie-breaks by packed key == single-device sorted-table-position order,
+    so the merged queues are bit-identical to the unsharded sync's.
+    Returns (q_i, q_j, q_dist, q_score) each (3, K) (single-phase PR=1
+    results broadcast to the 3 phase rows, as enhanced_state._sync_finish).
+    """
+    import jax.numpy as jnp
+
+    from hyptokenizer_tpu.tokenizer import scoring
+
+    INF = jnp.inf
+    SENT = scoring.PKEY_SENT
+    tvf = jnp.transpose(tv, (1, 0, 2)).reshape(PR, D * K)
+    pkf = jnp.transpose(pkm, (1, 0, 2)).reshape(PR, D * K)
+    dmf = jnp.transpose(dm, (1, 0, 2)).reshape(PR, D * K)
+    ftv, ftp = scoring.top_k_desc(tvf, K, tiebreak=pkf)
+    fsel = jnp.minimum(ftp, D * K - 1)
+    fpk = jnp.take_along_axis(pkf, fsel, axis=1)
+    fd = jnp.take_along_axis(dmf, fsel, axis=1)
+    stored = ftv > -INF
+    hi, lo = scoring.unpack_lex(jnp.where(stored, fpk, jnp.int32(SENT)))
+    q_i = jnp.where(stored, hi, -1)
+    q_j = jnp.where(stored, lo, -1)
+    q_dist = jnp.where(stored, fd, INF)
+    q_score = ftv
+    if PR == 1:
+        q_i = jnp.broadcast_to(q_i, (3, K))
+        q_j = jnp.broadcast_to(q_j, (3, K))
+        q_dist = jnp.broadcast_to(q_dist, (3, K))
+        q_score = jnp.broadcast_to(q_score, (3, K))
+    return q_i, q_j, q_dist, q_score
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_sync_frozen_fn(mesh: Mesh, config):
+    """Sharded queue rebuild for FROZEN-frequency configs (VERDICT r4 #3).
+
+    Loaded-artifact tokenizers (enhanced ``load()`` without a corpus) keep
+    one static lex-sorted pair table for the whole run; each chunk's sync
+    only re-scores it against the current embeddings/curvature/threshold
+    and rebuilds the candidate queues (enhanced_state._sync_finish's frozen
+    branch). That scoring + top-K is the whole cycle and shards by table
+    rows: each device scores its contiguous T/D slice and selects a local
+    top-K (tie-break = packed key, which equals the lex-table position
+    order the single-device path breaks ties by), then the same K-sized
+    replicated merge as v3. The consumed-history membership join's sort
+    stays replicated (V-sized, vs the T-sized sharded scoring); the
+    membership *checks* shard with the rows.
+
+    This path also closes a pre-round-5 sharded-frozen corruption: the v2
+    sharded sync unconditionally replayed the (dummy) corpus and rebuilt
+    the pair table from it, silently zeroing restored frequencies — frozen
+    configs that cannot take this path now use the replicated sync instead
+    of v2 (run_enhanced_sharded gate).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    import jax.numpy as jnp
+
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.parallel.mesh import VOCAB_AXIS
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+    from hyptokenizer_tpu.tokenizer import scoring
+
+    D = int(mesh.devices.size)
+    K = config.queue_size
+    PR = 3 if config.use_hierarchical else 1
+    SENT = scoring.PKEY_SENT
+    INF = jnp.inf
+
+    def local(keys_sl, counts_sl, emb_sh, len_sh, thr, curv, samp,
+              th_sh, bl_sh, vw_sh, powers, morph, msize, word, wsize,
+              hist_hi, hist_lo, n_hist, max_count, corpus_tokens):
+        emb_full = jax.lax.all_gather(emb_sh, VOCAB_AXIS, axis=0, tiled=True)
+        len_full = jax.lax.all_gather(len_sh, VOCAB_AXIS, axis=0, tiled=True)
+        th_full = jax.lax.all_gather(th_sh, VOCAB_AXIS, axis=0, tiled=True)
+        bl_full = jax.lax.all_gather(bl_sh, VOCAB_AXIS, axis=0, tiled=True)
+        vw_full = jax.lax.all_gather(vw_sh, VOCAB_AXIS, axis=0, tiled=True)
+        khi = keys_sl[:, 0]
+        klo = keys_sl[:, 1]
+        valid = khi != SENT
+        rows = jnp.where(valid, khi, 0)
+        cols = jnp.where(valid, klo, 0)
+        dists = L.distance(emb_full[rows], emb_full[cols], curv)
+        dists = jnp.where(valid, dists, INF)
+        score3 = E._full_scores_raw(
+            config, emb_full, len_full, thr, curv, samp, max_count,
+            corpus_tokens, th_full, bl_full, vw_full.astype(jnp.bool_),
+            powers, morph, msize, word, wsize, rows, cols, dists, counts_sl)
+        ok = valid & (counts_sl >= config.min_pair_freq)
+        consumed = scoring.in_sorted_pair_set(
+            khi, klo, hist_hi, hist_lo, n_hist) & valid
+        score3 = jnp.where((ok & ~consumed)[:, None], score3, -INF)
+        qv = jax.lax.psum(
+            jnp.sum((score3 > -INF).astype(jnp.int32), axis=0), VOCAB_AXIS)
+        pk = scoring.pack_lex(khi, klo)
+        sv = score3.T if config.use_hierarchical else score3[:, :1].T
+        tb = jnp.broadcast_to(pk[None, :], (PR, pk.shape[0]))
+        tv, tp = scoring.top_k_desc(sv, K, tiebreak=tb)
+        sel = jnp.minimum(tp, pk.shape[0] - 1)
+        found = tv > -INF
+        sel_pk = jnp.where(found, jnp.take(pk, sel), SENT)
+        sel_d = jnp.where(found, jnp.take(dists, sel), INF)
+        return tv[None], sel_pk[None], sel_d[None], qv
+
+    sm = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(VOCAB_AXIS, None), P(VOCAB_AXIS), P(VOCAB_AXIS, None),
+                  P(VOCAB_AXIS), P(), P(), P(), P(VOCAB_AXIS, None),
+                  P(VOCAB_AXIS), P(VOCAB_AXIS), P(), P(), P(), P(), P(),
+                  P(), P(), P(), P(), P()),
+        out_specs=(P(VOCAB_AXIS, None, None), P(VOCAB_AXIS, None, None),
+                   P(VOCAB_AXIS, None, None), P()),
+        check_rep=False)
+
+    @jax.jit
+    def sync(st):
+        key, sub = jax.random.split(st.key)
+        samp = jax.random.randint(sub, (config.coherence_samples,), 0,
+                                  jnp.maximum(st.base.vocab_size, 1))
+        base = st.base
+        in_hist = jnp.arange(base.merges.shape[0]) < base.num_merges
+        hist_hi = jnp.where(in_hist, base.merges[:, 0], scoring.PKEY_SENT)
+        hist_lo = jnp.where(in_hist, base.merges[:, 1], scoring.PKEY_SENT)
+        hist_hi, hist_lo = jax.lax.sort((hist_hi, hist_lo), num_keys=2)
+        tv, pkm, dm, qv = sm(
+            st.pair_keys, st.pair_counts, base.emb, base.lengths,
+            base.threshold, base.curvature, samp, st.token_hash,
+            st.byte_lengths, st.has_vowel.astype(jnp.int32), st.hash_powers,
+            st.morph_table, st.morph_size, st.word_table, st.word_size,
+            hist_hi, hist_lo, base.num_merges, st.max_pair_count,
+            st.corpus_tokens)
+        q_i, q_j, q_dist, q_score = _merge_topk_lists(tv, pkm, dm, D, K, PR)
+        # Frozen: table, counts, corpus, corpus_tokens all unchanged.
+        return st.replace(
+            key=key, coh_samples=samp, corpus_synced=base.num_merges,
+            q_i=q_i, q_j=q_j, q_dist=q_dist, q_score=q_score,
+            q_valid_total=qv, needs_resync=jnp.asarray(False))
 
     return sync
 
@@ -330,6 +461,38 @@ def _corpus_shard_aligned(st, n_dev: int) -> bool:
     return bool(np.all(vals < 0))
 
 
+def select_sync_path(st, config, mesh: Mesh) -> str:
+    """Which sync implementation a sharded enhanced run will use.
+
+    * ``"v3"`` — fully-sharded hash-partitioned sync (live corpus; includes
+      dense-channel configs since round 5, whose loop then reads the table
+      through the hashed-layout lookup),
+    * ``"v3f"`` — sharded re-scoring of the static frozen table,
+    * ``"v2"`` — per-shard replay + replicated combine/tail (oversized
+      vocabs or a table size not divisible by the mesh),
+    * ``"replicated"`` — unsharded sync (unaligned corpus, or a frozen
+      config the v3f gate rejects: the v2 sync would rebuild — and zero —
+      the restored table from the dummy corpus).
+
+    Exposed so tests and the driver dryrun can assert the path they mean to
+    exercise instead of duplicating the gate conditions.
+    """
+    from hyptokenizer_tpu.tokenizer import scoring as _scoring
+
+    aligned = (config.needs_corpus
+               and _corpus_shard_aligned(st, mesh.devices.size))
+    if not aligned:
+        return "replicated"
+    # pack_lex keys (hash partition, combine sort, tie-breaks, hashed
+    # lookup) are only injective/order-preserving for ids <= PACK_MAX_ID-1,
+    # so oversized vocabs fall back to the v2 sharded sync (ADVICE r4 #1).
+    eligible = (config.base.max_vocab_size <= _scoring.PACK_MAX_ID
+                and config.freq_table_size % mesh.devices.size == 0)
+    if config.frozen_freqs:
+        return "v3f" if eligible else "replicated"
+    return "v3" if eligible else "v2"
+
+
 def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     """Sharded chunk of the enhanced scored loop (flagship multi-chip path).
 
@@ -342,18 +505,14 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     from hyptokenizer_tpu.parallel.mesh import shard_enhanced_state
     if st.base.emb.shape[0] % mesh.devices.size != 0:
         raise ValueError("max_vocab_size not divisible by mesh size")
-    sharded_sync = (config.needs_corpus
-                    and _corpus_shard_aligned(st, mesh.devices.size))
-    # v3 (hash-partitioned combine + owned-key scoring) when the dense
-    # channel is off: nothing then consumes a globally-sorted pair table.
-    # pack_lex keys (hash partition, combine sort, tie-breaks) are only
-    # injective/order-preserving for ids <= PACK_MAX_ID - 1, so oversized
-    # vocabs fall back to the v2 sharded sync (ADVICE r4 #1).
-    from hyptokenizer_tpu.tokenizer import scoring as _scoring
-    use_v3 = (sharded_sync and not config.use_dense_channel
-              and not config.frozen_freqs
-              and config.base.max_vocab_size <= _scoring.PACK_MAX_ID
-              and config.freq_table_size % mesh.devices.size == 0)
+    path = select_sync_path(st, config, mesh)
+    sharded_sync = path != "replicated"
+    use_v3 = path == "v3"
+    use_v3f = path == "v3f"
+    loop_config = config
+    if use_v3 and config.use_dense_channel:
+        loop_config = config.replace(
+            pair_table_hashed=int(mesh.devices.size))
     st = shard_enhanced_state(st, mesh)
     # Same (sync -> merge -> resync) pacing as the single-device
     # enhanced_state.run_enhanced: queue exhaustion mid-chunk triggers a
@@ -366,10 +525,11 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
         while True:
             E.DISPATCH_ROUNDS += 1
             if sharded_sync:
-                sync_fn = (_sharded_sync_v3_fn if use_v3
+                sync_fn = (_sharded_sync_frozen_fn if use_v3f
+                           else _sharded_sync_v3_fn if use_v3
                            else _sharded_sync_fn)
                 st = sync_fn(mesh, config)(st)
-                st = _enhanced_loop_jit(st, config, remaining)
+                st = _enhanced_loop_jit(st, loop_config, remaining)
             else:
                 st = _run_enhanced(st, config, remaining)
             now = int(st.base.num_merges)

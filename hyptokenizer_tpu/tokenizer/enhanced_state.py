@@ -134,6 +134,14 @@ class EnhancedConfig:
     # against the current embeddings/curvature each chunk.
     frozen_freqs: bool = struct.field(pytree_node=False, default=False)
 
+    # Pair-table layout the LOOP should assume: 0/1 = one lex-sorted table
+    # (build_pair_table); D > 1 = the v3 sharded sync's hash-partitioned
+    # layout (D per-owner slices, each sorted — scoring.pair_dest). Only the
+    # dense channel's per-step frequency lookup consults this; the sharded
+    # wrapper sets it on the config it hands the loop after a v3 sync
+    # (VERDICT r4 #3: dense-channel configs on the v3 path).
+    pair_table_hashed: int = struct.field(pytree_node=False, default=0)
+
     freq_table_size: int = struct.field(pytree_node=False, default=1 << 17)
     # Sparse-channel candidate queue length per phase (top-k by score at each
     # sync). Large enough that a chunk rarely exhausts it; exhaustion is
@@ -470,8 +478,13 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         di = jnp.argmin(base.best_dist).astype(jnp.int32)
         dd = base.best_dist[di]
         dj = base.best_j[di]
-        dense_freq = scoring.lookup_pair_counts(
-            di[None], dj[None], st.pair_keys, st.pair_counts)[0]
+        if config.pair_table_hashed > 1:
+            dense_freq = scoring.lookup_pair_counts_hashed(
+                di[None], dj[None], st.pair_keys, st.pair_counts,
+                config.pair_table_hashed)[0]
+        else:
+            dense_freq = scoring.lookup_pair_counts(
+                di[None], dj[None], st.pair_keys, st.pair_counts)[0]
         dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
                                    dense_freq[None])[0][pidx]
         dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
@@ -669,9 +682,14 @@ def _sync_finish(st: EnhancedState, config: EnhancedConfig, corpus,
     key, sub = jax.random.split(st.key)
     samp = jax.random.randint(sub, (config.coherence_samples,), 0,
                               jnp.maximum(base.vocab_size, 1))
+    # Frozen restored frequencies have NO live corpus: keep the loader's
+    # token-total stand-in (the compression-ratio denominator) instead of
+    # clobbering it with the empty dummy buffer's count of 0.
+    corpus_tokens = (st.corpus_tokens if config.frozen_freqs
+                     else scoring.corpus_token_count(corpus))
     st = st.replace(key=key, coh_samples=samp,
                     corpus=corpus, corpus_synced=base.num_merges,
-                    corpus_tokens=scoring.corpus_token_count(corpus),
+                    corpus_tokens=corpus_tokens,
                     pair_keys=keys, pair_counts=counts,
                     max_pair_count=max_count, pair_unique=n_unique)
 

@@ -836,6 +836,48 @@ def top_k_desc(vals: jax.Array, k: int, tiebreak: jax.Array | None = None):
     return out_vals, jnp.minimum(out_idx, t - 1)
 
 
+def pair_dest(pk: jax.Array, n_buckets: int) -> jax.Array:
+    """Hash-partition owner bucket for packed pair keys (Fibonacci mix).
+
+    Single source of truth for the v3 sharded sync's key partition
+    (parallel/sharded.py) AND the in-loop hashed table lookup
+    (:func:`lookup_pair_counts_hashed`) — the two must agree or the dense
+    channel reads the wrong device's slice."""
+    h = (pk ^ (pk >> 15)) * jnp.int32(-1640531527)
+    return (h & jnp.int32(0x7FFFFFFF)) % n_buckets
+
+
+def lookup_pair_counts_hashed(q_hi: jax.Array, q_lo: jax.Array,
+                              table_keys: jax.Array,
+                              table_counts: jax.Array,
+                              n_buckets: int) -> jax.Array:
+    """Counts for (hi, lo) pairs in a HASH-PARTITIONED table (0 when absent).
+
+    Table layout: the v3 sharded sync's persisted pair table — the
+    concatenation of ``n_buckets`` per-owner slices of T/n_buckets rows,
+    each slice sorted ascending by packed key with PKEY_SENT padding
+    (parallel/sharded._sharded_sync_v3_fn). A query key's owner bucket is
+    :func:`pair_dest`; the lookup binary-searches only that slice. Requires
+    ids <= PACK_MAX_ID - 1 (the v3 gate enforces it). A slice that
+    overflowed its cap (the sync's `overflow` signal / host warning) may
+    have dropped keys — lookups then read 0 for the dropped pairs, exactly
+    as a clipped lex table drops its tail.
+    """
+    t = table_keys.shape[0]
+    td = t // n_buckets
+    pkt = pack_lex(table_keys[:, 0], table_keys[:, 1])
+    qpk = pack_lex(q_hi.astype(jnp.int32), q_lo.astype(jnp.int32))
+
+    def one(q):
+        dest = pair_dest(q, n_buckets)
+        seg_k = jax.lax.dynamic_slice(pkt, (dest * td,), (td,))
+        seg_c = jax.lax.dynamic_slice(table_counts, (dest * td,), (td,))
+        pos = jnp.minimum(jnp.searchsorted(seg_k, q), td - 1)
+        return jnp.where(seg_k[pos] == q, seg_c[pos], 0)
+
+    return jax.vmap(one)(qpk)
+
+
 def lookup_pair_counts(q_hi: jax.Array, q_lo: jax.Array,
                        table_keys: jax.Array,
                        table_counts: jax.Array) -> jax.Array:

@@ -287,3 +287,141 @@ def test_enhanced_sharded_v3_bit_identical():
     # Queue snapshots agree too (same candidates in the same order).
     np.testing.assert_array_equal(np.asarray(s1.q_i), np.asarray(s2.q_i))
     np.testing.assert_array_equal(np.asarray(s1.q_j), np.asarray(s2.q_j))
+
+
+def test_enhanced_sharded_v3_allfeatures_bit_identical():
+    """The v3 sync extended to DENSE-CHANNEL configs (VERDICT r4 #3): the
+    all-features flagship (dense + frequency + hierarchical + compression +
+    adaptive curvature) shards through the hash-partitioned sync, with the
+    loop's dense frequency lookup reading the hash-partition table layout
+    (scoring.lookup_pair_counts_hashed), and stays bit-identical to the
+    single-device path."""
+    from hyptokenizer_tpu.parallel.sharded import run_enhanced_sharded
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc", "fgh fgi abz qrs"] * 6
+
+    def build_tok():
+        vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+            {ch for l in corpus for ch in l})
+        emb = L.random_points(jax.random.PRNGKey(9), len(vocab), 8, sigma=0.6)
+        return EnhancedHyperbolicTokenizer(
+            vocab, emb, merge_threshold=50.0, max_vocab_size=64,
+            search_block=16, corpus_sample=corpus, corpus_max_tokens=512,
+            corpus_shards=8, freq_table_size=2048,
+            use_frequency_aware=True, use_hierarchical=True,
+            use_compression_aware=True, use_adaptive_curvature=True,
+            optimize_curvature_freq=4,
+            use_dense_channel=True, min_pair_freq=1, merge_batch=4, seed=3)
+
+    t1 = build_tok()
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 12)
+
+    t2 = build_tok()
+    mesh = make_mesh()
+    from hyptokenizer_tpu.parallel.sharded import _corpus_shard_aligned
+    from hyptokenizer_tpu.tokenizer import scoring
+    # The gate must actually select v3 for this config (dense channel ON).
+    assert _corpus_shard_aligned(t2.enh_state, mesh.devices.size)
+    assert t2.enh_config.use_dense_channel
+    assert t2.enh_config.base.max_vocab_size <= scoring.PACK_MAX_ID
+    assert t2.enh_config.freq_table_size % mesh.devices.size == 0
+    s2 = run_enhanced_sharded(t2.enh_state, t2.enh_config, 12, mesh)
+
+    n = int(s1.base.num_merges)
+    assert n == int(s2.base.num_merges) and n > 4
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
+    np.testing.assert_array_equal(np.asarray(s1.q_i), np.asarray(s2.q_i))
+    np.testing.assert_array_equal(np.asarray(s1.q_j), np.asarray(s2.q_j))
+    # Trained curvature followed the same trajectory.
+    np.testing.assert_allclose(float(s1.base.curvature),
+                               float(s2.base.curvature), rtol=1e-6)
+
+
+def test_lookup_pair_counts_hashed_matches_lex():
+    """The hashed-layout lookup returns the same counts as the lex-table
+    lookup for present and absent pairs."""
+    from hyptokenizer_tpu.tokenizer import scoring
+
+    rng = np.random.default_rng(0)
+    D, TD = 8, 32
+    T = D * TD
+    pairs = {(int(a), int(b)): int(c) for a, b, c in zip(
+        rng.integers(0, 60, 150), rng.integers(0, 60, 150),
+        rng.integers(1, 99, 150))}
+    # Build the v3 layout: per-owner slices, each sorted by packed key.
+    pks = {}
+    for (a, b), c in pairs.items():
+        pk = int(np.asarray(scoring.pack_lex(jnp.int32(a), jnp.int32(b))))
+        pks[pk] = ((a, b), c)
+    slices_k = [[] for _ in range(D)]
+    slices_c = [[] for _ in range(D)]
+    for pk in sorted(pks):
+        (a, b), c = pks[pk]
+        d = int(np.asarray(scoring.pair_dest(jnp.int32(pk), D)))
+        if len(slices_k[d]) < TD:
+            slices_k[d].append((a, b))
+            slices_c[d].append(c)
+    keys = np.full((T, 2), scoring.PKEY_SENT, np.int32)
+    counts = np.zeros((T,), np.int32)
+    for d in range(D):
+        for r, ((a, b), c) in enumerate(zip(slices_k[d], slices_c[d])):
+            keys[d * TD + r] = (a, b)
+            counts[d * TD + r] = c
+    stored = {k: c for d in range(D)
+              for k, c in zip(slices_k[d], slices_c[d])}
+    q = np.asarray([[a, b] for a in range(0, 64, 3)
+                    for b in range(0, 64, 5)], np.int32)
+    got = np.asarray(scoring.lookup_pair_counts_hashed(
+        jnp.asarray(q[:, 0]), jnp.asarray(q[:, 1]),
+        jnp.asarray(keys), jnp.asarray(counts), D))
+    want = np.asarray([stored.get((int(a), int(b)), 0) for a, b in q])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_enhanced_sharded_frozen_preserves_freqs_and_matches(tmp_path):
+    """Sharded continued training of a LOADED (frozen-frequency) tokenizer:
+    the v3f sync re-scores the static table per-shard, produces the same
+    merges as single-device, and does NOT corrupt the restored pair table
+    (the pre-r5 v2 sharded sync rebuilt it from the dummy corpus,
+    silently zeroing every restored count)."""
+    from hyptokenizer_tpu.parallel.sharded import run_enhanced_sharded
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    corpus = ["abc abd abe fgh", "cde cdf fgh abc", "fgh fgi abz qrs"] * 6
+    vocab = ["<pad>", "<bos>", "<eos>", "<unk>"] + sorted(
+        {ch for l in corpus for ch in l})
+    emb = L.random_points(jax.random.PRNGKey(9), len(vocab), 8, sigma=0.6)
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb, merge_threshold=50.0, max_vocab_size=64,
+        search_block=16, corpus_sample=corpus, corpus_max_tokens=512,
+        freq_table_size=2048,
+        use_frequency_aware=True, use_hierarchical=False,
+        use_compression_aware=False, use_adaptive_curvature=False,
+        use_dense_channel=False, min_pair_freq=1, merge_batch=4, seed=3)
+    tok.optimize_merges(steps=6, log_every=6)
+    p = str(tmp_path / "frozen")
+    tok.save(p)
+
+    t1 = EnhancedHyperbolicTokenizer.load(p)
+    assert t1.enh_config.frozen_freqs
+    s1 = E.run_enhanced(t1.enh_state, t1.enh_config, 6)
+
+    t2 = EnhancedHyperbolicTokenizer.load(p)
+    keys_before = np.asarray(t2.enh_state.pair_keys).copy()
+    counts_before = np.asarray(t2.enh_state.pair_counts).copy()
+    assert counts_before.sum() > 0
+    mesh = make_mesh()
+    s2 = run_enhanced_sharded(t2.enh_state, t2.enh_config, 6, mesh)
+
+    n = int(s1.base.num_merges)
+    assert n == int(s2.base.num_merges) and n > int(tok.state.num_merges)
+    np.testing.assert_array_equal(np.asarray(s1.base.merges[:n]),
+                                  np.asarray(s2.base.merges[:n]))
+    np.testing.assert_array_equal(np.asarray(s1.q_i), np.asarray(s2.q_i))
+    # The frozen table survived the sharded run untouched.
+    np.testing.assert_array_equal(np.asarray(s2.pair_keys), keys_before)
+    np.testing.assert_array_equal(np.asarray(s2.pair_counts), counts_before)
