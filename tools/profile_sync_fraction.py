@@ -222,3 +222,87 @@ print(f"t_final_merge(DK) = {t_fin*1e3:.1f} ms   (REPLICATED)")
 print(f"v3 cycle at D=8   = {cycle_v3*1e3:.1f} ms vs old replicated "
       f"{(t_local_full + t_tail + t_loop)*1e3:.1f} ms")
 print(f"v3 replicated share at D=8 = {t_fin / cycle_v3:.3f}")
+
+
+# ------------------------------------------------- all-features v3 (round 5)
+# VERDICT r4 #3 "Done" criterion: the ALL-FEATURES sharded config (dense
+# channel + frequency + hierarchical + compression + adaptive curvature)
+# measured < 10% replicated share at D=8. Same methodology: per-device
+# piece timings at their real D=8 shapes. The extra feature work (PR=3
+# queues, coherence, morphology) all rides the sharded scoring stage; the
+# only replicated stage is still the K-sized final merge (now 3 phase rows).
+tok_all = EnhancedHyperbolicTokenizer(
+    vocab, emb, max_vocab_size=8192, merge_threshold=100.0,
+    use_frequency_aware=True, alpha=0.4, beta=0.4, gamma=0.2,
+    use_hierarchical=True, use_compression_aware=True,
+    use_adaptive_curvature=True, optimize_curvature_freq=100,
+    use_dense_channel=True, min_pair_freq=1, merge_batch=16,
+    corpus_sample=lines, corpus_max_tokens=CORPUS_N, corpus_shards=8,
+    seed=0)
+st_all = jax.tree.map(jnp.array, tok_all.enh_state)
+cfg_all = tok_all.enh_config
+replay_all = scoring.batch_fixpoint_replay
+
+
+@jax.jit
+def local_part_all(corpus):
+    c = replay_all(corpus, st_all.base.merges, st_all.corpus_synced,
+                   st_all.base.num_merges - st_all.corpus_synced,
+                   cfg_all.n_init)
+    return c, scoring.build_pair_table(c, T)
+
+
+@jax.jit
+def finish_part_all(st, corpus, keys, counts, n_unique, max_count):
+    return E._sync_finish(st, cfg_all, corpus, keys, counts, n_unique,
+                          max_count)
+
+
+@jax.jit
+def v3_score_topk_all(st, ok_u, oc_u):
+    valid_u = ok_u != scoring.PKEY_SENT
+    hi_u, lo_u = scoring.unpack_lex(ok_u)
+    rows = jnp.where(valid_u, hi_u, 0)
+    cols = jnp.where(valid_u, lo_u, 0)
+    dists = L.distance(st.base.emb[rows], st.base.emb[cols],
+                       st.base.curvature)
+    dists = jnp.where(valid_u, dists, jnp.inf)
+    score3 = E._full_scores(st, cfg_all, rows, cols, dists, oc_u)
+    okc = valid_u & (oc_u >= cfg_all.min_pair_freq)
+    score3 = jnp.where(okc[:, None], score3, -jnp.inf)
+    tb = jnp.broadcast_to(ok_u[None, :], (3, ok_u.shape[0]))
+    return scoring.top_k_desc(score3.T, K, tiebreak=tb)
+
+
+t_local_all_8th, (c8a, tbl8a) = timeit(local_part_all,
+                                       st_all.corpus[:CORPUS_N // 8])
+t_local_all_full, (cfa, tblfa) = timeit(local_part_all, st_all.corpus)
+_, stall_synced = timeit(finish_part_all, st_all, cfa, tblfa[0], tblfa[1],
+                         tblfa[2], tblfa[3])
+pk_fa = scoring.pack_lex(tblfa[0][:, 0], tblfa[0][:, 1])
+t_part_a, (ska, sca) = timeit(v3_partition, pk_fa, tblfa[1])
+t_ownc_a, (ok_ua, oc_ua) = timeit(v3_own_combine, ska, sca)
+t_sco_a, (tv3, tp3) = timeit(v3_score_topk_all, stall_synced, ok_ua, oc_ua)
+tvm3 = jnp.tile(tv3, (1, D))
+pkm3 = jnp.tile(jnp.where(tv3 > -jnp.inf, jnp.take(
+    ok_ua, jnp.minimum(tp3, OWN - 1)), scoring.PKEY_SENT), (1, D))
+dmm3 = jnp.zeros_like(tvm3)
+t_fin_a, _ = timeit(v3_final_merge, tvm3, pkm3, dmm3)
+t_loop_all, _ = timeit(
+    lambda s: _enhanced_loop_jit(jax.tree.map(jnp.array, s), cfg_all, 256),
+    stall_synced, reps=4)
+
+cycle_v3_all = (t_local_all_8th + t_part_a + t_ownc_a + t_sco_a + t_fin_a
+                + t_loop_all / D)
+cycle_old_all = (t_local_all_full + t_combine + t_sco_a * D + t_fin_a
+                 + t_loop_all)
+print("\n--- ALL-FEATURES v3 decomposition (per-device work at D=8) ---")
+print(f"t_local(N/8)      = {t_local_all_8th*1e3:.1f} ms   (scales 1/D)")
+print(f"t_partition       = {t_part_a*1e3:.1f} ms   (O(T) per device)")
+print(f"t_own_combine(2T) = {t_ownc_a*1e3:.1f} ms   (O(T) per device)")
+print(f"t_score+topk(2T/D, PR=3) = {t_sco_a*1e3:.1f} ms   (scales 1/D)")
+print(f"t_final_merge(3,DK) = {t_fin_a*1e3:.1f} ms   (REPLICATED)")
+print(f"t_loop(256, all features) = {t_loop_all*1e3:.1f} ms (row-sharded)")
+print(f"all-features v3 cycle at D=8 = {cycle_v3_all*1e3:.1f} ms")
+print(f"all-features v3 replicated share at D=8 = "
+      f"{t_fin_a / cycle_v3_all:.3f}")
