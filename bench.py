@@ -20,8 +20,10 @@ the artifact rather than silently eating a window.
 Compile cost: the first chunk carries all jit compiles and is reported as
 `compile_s`. The repo ships the TPU executables for the flagship shapes
 (data/tpu_compile_cache/, seeded into the host cache dir before jax loads —
-the AOT-deployment pattern); `cache_seeded` in the JSON says how many shipped
-entries this run started with, so a cold-vs-warm first chunk is attributable.
+the AOT-deployment pattern). Cache provenance rides the JSON (VERDICT r4
+#7): `cache_copied`/`cache_preexisting` say where the disk entries came
+from, `cache_hits`/`cache_requests` whether compiles were served from them;
+BENCH_COLD=1 wipes the dir first for a genuinely cold-dir run.
 
 Also prints (stderr diagnostic lines after the headline JSON):
   * the distance-only fused-kernel loop (previous rounds' headline),

@@ -227,6 +227,12 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
             dj = _get(bj, di)
             dd = best
             dense_valid = jnp.isfinite(dd) & (dd < thr)
+            if cfg["max_token_len"] > 0:
+                # Merged-token length gate backstop (the fold below keeps
+                # overlong pairs out of bd/bj structurally; this guards
+                # states whose candidates were rebuilt by a full re-scan).
+                dense_valid &= (_get(ln, di) + _get(ln, dj)
+                                <= cfg["max_token_len"])
 
             dense_score = alpha * (1.0 / (1.0 + dd))
             dfreq = jnp.float32(0.0)
@@ -487,6 +493,13 @@ def _kernel(emb_in, bd_in, bj_in, ln_in, bl_in, vw_in, h1_in, h2_in,
                             dcol = _acosh(jnp.maximum(gram, 1.0 + ACOSH_EPS)
                                           ) * inv_sqrt_c
                             mask = ok_b & (ids < slot_b) & (ids < vocab_post)
+                            if cfg["max_token_len"] > 0:
+                                # Structural length gate (merge_batch's):
+                                # rows that cannot legally merge with the
+                                # new token never point at it.
+                                lnb = _get(ln, slot_b)
+                                lns = ln[pl.ds(tt * g, g), :]
+                                mask &= (lns + lnb) <= cfg["max_token_len"]
                             dcol = jnp.where(mask, dcol, INF)
                             bds = bd[pl.ds(tt * g, g), :]
                             bjs = bj[pl.ds(tt * g, g), :]
@@ -565,6 +578,7 @@ def _kernel_cfg(config) -> dict:
         nb=max(1, config.merge_batch),
         weights=tuple(float(w) for w in config.weights()),
         use_dense=bool(config.use_dense_channel or not config.needs_corpus),
+        max_token_len=int(config.base.max_token_len),
         needs_corpus=bool(config.needs_corpus),
         use_freq=bool(config.use_frequency),
         use_comp=bool(config.use_compression),

@@ -229,6 +229,9 @@ def _sharded_sync_v3_fn(mesh: Mesh, config):
             vw_full.astype(jnp.bool_), powers, morph, msize, word, wsize,
             rows, cols, dists, oc_u)
         okc = valid_u & (oc_u >= config.min_pair_freq)
+        if config.base.max_token_len > 0:
+            okc &= (len_full[rows] + len_full[cols]
+                    <= config.base.max_token_len)
         score3 = jnp.where(okc[:, None], score3, -INF)
         qv = jax.lax.psum(
             jnp.sum((score3 > -INF).astype(jnp.int32), axis=0), VOCAB_AXIS)
@@ -392,6 +395,9 @@ def _sharded_sync_frozen_fn(mesh: Mesh, config):
             corpus_tokens, th_full, bl_full, vw_full.astype(jnp.bool_),
             powers, morph, msize, word, wsize, rows, cols, dists, counts_sl)
         ok = valid & (counts_sl >= config.min_pair_freq)
+        if config.base.max_token_len > 0:
+            ok &= (len_full[rows] + len_full[cols]
+                   <= config.base.max_token_len)
         consumed = scoring.in_sorted_pair_set(
             khi, klo, hist_hi, hist_lo, n_hist) & valid
         score3 = jnp.where((ok & ~consumed)[:, None], score3, -INF)

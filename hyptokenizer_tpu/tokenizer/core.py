@@ -349,10 +349,12 @@ class HyperbolicTokenizer:
                 merges=st.merges.at[:len(merges)].set(jnp.asarray(pairs)),
                 num_merges=jnp.asarray(len(merges), jnp.int32),
             )
-        # Candidate arrays refreshed for potential continued training.
+        # Candidate arrays refreshed for potential continued training
+        # (length-gated to match the training folds' structural cap).
         bd, bj = search_lib.full_pass_best(
             st.emb, st.vocab_size, st.curvature, st.merges, st.num_merges,
-            block=self.config.search_block)
+            block=self.config.search_block, lengths=st.lengths,
+            max_token_len=self.config.max_token_len)
         self.state = st.replace(best_dist=bd, best_j=bj)
 
     @classmethod

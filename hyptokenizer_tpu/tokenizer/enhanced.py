@@ -109,6 +109,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         merge_batch: int = 8,
         min_pair_freq: int = 1,
         use_dense_channel: bool = True,
+        max_token_len: int = 512,
         freq_table_size: int = 1 << 17,
         queue_size: int = 4096,
         seed: int = 0,
@@ -149,6 +150,9 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         )
         self.language = language
         self.corpus_shrink = corpus_shrink
+        # Mirror the length cap onto the core config so load-resume's full
+        # candidate re-scan applies the same structural gate as training.
+        self.config = self.config.replace(max_token_len=max_token_len)
         self.callbacks: List[Callable] = []
         del cache_size, rebuild_frequency, hnsw_m, hnsw_ef_construction
         del hnsw_ef_search, distance_weight, sample_size  # parity-only knobs
@@ -156,7 +160,12 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
         del pool_k  # superseded by the two-channel candidate architecture
         self.enh_config = E.EnhancedConfig(
             base=MergeConfig(max_vocab_size=self.max_vocab_size,
-                             search_block=search_block),
+                             search_block=search_block,
+                             # Merged-token length cap (the reference's
+                             # intended-but-ghost _is_valid_merge; prevents
+                             # the dense channel's chain-collapse from
+                             # exponentially exploding vocab strings).
+                             max_token_len=max_token_len),
             n_init=len(self.vocab),
             has_corpus=bool(corpus_path or corpus_sample),
             merge_batch=merge_batch,
@@ -555,6 +564,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             "merge_batch": cfg.merge_batch,
             "min_pair_freq": cfg.min_pair_freq,
             "use_dense_channel": cfg.use_dense_channel,
+            "max_token_len": cfg.base.max_token_len,
             "freq_table_size": cfg.freq_table_size,
             "queue_size": cfg.queue_size,
         }
@@ -641,6 +651,7 @@ class EnhancedHyperbolicTokenizer(HyperbolicTokenizer):
             merge_batch=ecfg.get("merge_batch", 8),
             min_pair_freq=ecfg.get("min_pair_freq", 1),
             use_dense_channel=ecfg.get("use_dense_channel", True),
+            max_token_len=ecfg.get("max_token_len", 512),
             freq_table_size=ecfg.get("freq_table_size", 1 << 17),
             queue_size=ecfg.get("queue_size", 4096),
             corpus_max_tokens=cls.MIN_CORPUS_BUFFER,  # no corpus on disk

@@ -488,6 +488,11 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
         dense_score = _full_scores(st, config, di[None], dj[None], dd[None],
                                    dense_freq[None])[0][pidx]
         dense_valid = jnp.isfinite(dd) & (dd < base.threshold)
+        if config.base.max_token_len > 0:
+            # Backstop for the structural fold gate (states loaded/rebuilt
+            # with a full candidate re-scan can carry overlong pairs).
+            dense_valid &= (base.lengths[di] + base.lengths[dj]
+                            <= config.base.max_token_len)
     else:
         di = jnp.asarray(0, jnp.int32)
         dj = jnp.asarray(0, jnp.int32)
@@ -570,7 +575,8 @@ def enhanced_step(st: EnhancedState, config: EnhancedConfig) -> EnhancedState:
     def do_merge(st):
         base0 = st.base
         prev_merges = base0.num_merges
-        new_base = merge_batch(base0, cand_i, cand_j, cand_d, cand_valid)
+        new_base = merge_batch(base0, cand_i, cand_j, cand_d, cand_valid,
+                               config.base.max_token_len)
         nb_done = new_base.num_merges - prev_merges
         # Slots actually assigned (order-preserving prefix of valid).
         rank = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
@@ -706,6 +712,10 @@ def _sync_finish(st: EnhancedState, config: EnhancedConfig, corpus,
 
     score3 = _full_scores(st, config, rows, cols, dists, counts)
     ok = valid & (counts >= config.min_pair_freq)
+    if config.base.max_token_len > 0:
+        # Merged-token length gate (MergeConfig.max_token_len).
+        ok &= (base.lengths[rows] + base.lengths[cols]
+               <= config.base.max_token_len)
     score3 = jnp.where(ok[:, None], score3, -INF)
 
     # Pairs already merged (any historical ordered pair) are consumed. With

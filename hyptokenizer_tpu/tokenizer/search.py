@@ -29,11 +29,16 @@ INF = jnp.inf
 
 def _row_block_best(emb: jax.Array, row_start: jax.Array, block: int,
                     vocab_size: jax.Array, c: jax.Array,
-                    merges: jax.Array, num_merges: jax.Array):
+                    merges: jax.Array, num_merges: jax.Array,
+                    lengths: jax.Array | None = None,
+                    max_token_len: int = 0):
     """Best candidate per row for rows [row_start, row_start+block).
 
-    Masks: j > i (upper triangle), j < vocab_size, and (i, j) not already
-    merged (merge history is canonicalised with i < j).
+    Masks: j > i (upper triangle), j < vocab_size, (i, j) not already
+    merged (merge history is canonicalised with i < j), and — when
+    ``max_token_len`` > 0 and ``lengths`` is given — pairs whose merged
+    token would exceed the length cap (MergeConfig.max_token_len), so a
+    rebuilt candidate structure matches the training folds' structural gate.
     """
     max_v = emb.shape[0]
     rows = jax.lax.dynamic_slice_in_dim(emb, row_start, block, axis=0)
@@ -42,6 +47,9 @@ def _row_block_best(emb: jax.Array, row_start: jax.Array, block: int,
     row_ids = row_start + jax.lax.broadcasted_iota(jnp.int32, (block, max_v), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block, max_v), 1)
     mask = (col_ids > row_ids) & (col_ids < vocab_size) & (row_ids < vocab_size)
+    if max_token_len > 0 and lengths is not None:
+        row_len = jax.lax.dynamic_slice_in_dim(lengths, row_start, block)
+        mask &= (row_len[:, None] + lengths[None, :]) <= max_token_len
     dists = jnp.where(mask, dists, INF)
 
     # Mask already-merged pairs: for each history entry (a, b), row a loses b.
@@ -58,10 +66,11 @@ def _row_block_best(emb: jax.Array, row_start: jax.Array, block: int,
     return best_dist, best_j
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "max_token_len"))
 def full_pass_best(emb: jax.Array, vocab_size: jax.Array, c: jax.Array,
                    merges: jax.Array, num_merges: jax.Array,
-                   block: int = 512):
+                   block: int = 512, lengths: jax.Array | None = None,
+                   max_token_len: int = 0):
     """Compute ``(best_dist, best_j)`` for every row, tiled over row blocks.
 
     Memory bound: ``block * max_V`` floats live at once (the reference's
@@ -75,12 +84,16 @@ def full_pass_best(emb: jax.Array, vocab_size: jax.Array, c: jax.Array,
 
     if pad_v != max_v:
         emb_p = jnp.pad(emb, ((0, pad_v - max_v), (0, 0)))
+        lengths_p = (None if lengths is None
+                     else jnp.pad(lengths, (0, pad_v - max_v)))
     else:
         emb_p = emb
+        lengths_p = lengths
 
     def one_block(b):
         bd, bj = _row_block_best(emb_p, b * block, block, vocab_size, c,
-                                 merges, num_merges)
+                                 merges, num_merges, lengths_p,
+                                 max_token_len)
         return bd, bj
 
     bd, bj = jax.lax.map(one_block, jnp.arange(n_blocks, dtype=jnp.int32))

@@ -70,6 +70,22 @@ class MergeConfig:
     # "no candidate"), so -inf is unambiguous — and unlike NaN it survives
     # jax.distributed's cross-process device_put equality check.
     init_candidates: bool = struct.field(pytree_node=False, default=True)
+    # Maximum CHAR length of a merged token (0 = unlimited). Realises the
+    # validity gate the reference declares but never implements
+    # (_is_valid_merge always True — hyperbolic_merge.py:293-307, SURVEY
+    # §2.5): without it the geometric channel chain-collapses (each merge's
+    # midpoint lands closer to its parents than any other pair, so the
+    # lineage wins the argmin forever and token strings grow like Fibonacci
+    # concatenation — measured >31 GB of host vocab strings at 50k vocab).
+    # Enforced STRUCTURALLY in the candidate folds: overlong combinations
+    # never enter best_dist/best_j, so the argmin stays live instead of
+    # stalling on a blocked pair. A gated fold can leave an invalidated row
+    # at +inf although ungated partners exist (conservative misses; the row
+    # is re-claimed by later folds) — the exact-exclusion invariant of
+    # merge_pair is preserved for every allowed pair. Default 0 here (the
+    # distance-only loop keeps reference semantics and its Pallas-kernel
+    # lockstep); the enhanced tokenizer defaults it to 512.
+    max_token_len: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -208,11 +224,11 @@ def _do_merge(state: MergeState, config: MergeConfig) -> MergeState:
     i = jnp.argmin(state.best_dist).astype(jnp.int32)
     d = state.best_dist[i]
     j = state.best_j[i]
-    return merge_pair(state, i, j, d)
+    return merge_pair(state, i, j, d, config.max_token_len)
 
 
 def merge_pair(state: MergeState, i: jax.Array, j: jax.Array,
-               d: jax.Array) -> MergeState:
+               d: jax.Array, max_token_len: int = 0) -> MergeState:
     """Merge the chosen pair (i, j) (distance ``d``) and update candidates.
 
     Shared by the distance-only loop (which picks the global argmin) and the
@@ -251,6 +267,12 @@ def merge_pair(state: MergeState, i: jax.Array, j: jax.Array,
     d_new = L.pairwise_dist(emb, x_new, state.curvature)[:, 0]  # (max_V,)
     ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, 1), 0)[:, 0]
     d_new = jnp.where(ids < new_idx, d_new, INF)
+    if max_token_len > 0:
+        # Structural length gate: rows that could not legally merge with the
+        # new token never point at it (MergeConfig.max_token_len).
+        new_len = jax.lax.dynamic_index_in_dim(lengths, new_idx, axis=0,
+                                               keepdims=False)
+        d_new = jnp.where(lengths + new_len <= max_token_len, d_new, INF)
 
     # Invalidate row i iff its tracked best was just consumed; the fold below
     # then claims it with (d(i, m), new_idx), the new true minimum.
@@ -308,7 +330,8 @@ def merge_step(state: MergeState, config: MergeConfig) -> MergeState:
 
 
 def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
-                dd: jax.Array, valid: jax.Array) -> MergeState:
+                dd: jax.Array, valid: jax.Array,
+                max_token_len: int = 0) -> MergeState:
     """Merge up to B candidate pairs in one vectorised step.
 
     All midpoints are computed from the pre-batch embeddings (merges never
@@ -366,6 +389,9 @@ def merge_batch(state: MergeState, ii: jax.Array, jj: jax.Array,
     g = L.pairwise_dist(emb, x_new, c)                     # (max_V, B)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (max_v, b), 0)
     ok = valid[None, :] & (row_ids < slot[None, :]) & (row_ids < vocab_size)
+    if max_token_len > 0:
+        # Structural length gate (see MergeConfig.max_token_len).
+        ok &= lengths[:, None] + (len_i + len_j)[None, :] <= max_token_len
     g = jnp.where(ok, g, INF)
     col_min = jnp.min(g, axis=1)
     col_arg = slot[jnp.argmin(g, axis=1)].astype(jnp.int32)

@@ -450,3 +450,29 @@ def test_bpe_mode_poisons_dense_candidates():
     dense_cfg = tok.enh_config.replace(use_dense_channel=True)
     with pytest.raises(ValueError, match="poisoned"):
         E.run_enhanced(tok.enh_state, dense_cfg, 4)
+
+
+def test_max_token_len_caps_chain_collapse():
+    """MergeConfig.max_token_len (the reference's intended-but-ghost
+    _is_valid_merge, hyperbolic_merge.py:293-307): the dense geometric
+    channel's chain-collapse is length-capped STRUCTURALLY (overlong pairs
+    never enter best_dist/best_j), and the channel stays live — merging
+    continues among allowed pairs instead of stalling on a blocked argmin."""
+    import jax
+
+    from hyptokenizer_tpu.ops import lorentz as L
+    from hyptokenizer_tpu.tokenizer import EnhancedHyperbolicTokenizer
+
+    vocab = [chr(ord("a") + i) for i in range(16)]
+    emb = L.random_points(jax.random.PRNGKey(11), len(vocab), 8, sigma=0.6)
+    tok = EnhancedHyperbolicTokenizer(
+        vocab, emb, merge_threshold=100.0, max_vocab_size=64,
+        search_block=16,
+        use_frequency_aware=False, use_hierarchical=False,
+        use_adaptive_curvature=False, use_compression_aware=False,
+        max_token_len=4, seed=0)
+    tok.optimize_merges(steps=40, log_every=40)
+    assert all(len(t) <= 4 for t in tok.vocab), \
+        sorted(tok.vocab, key=len)[-3:]
+    # Liveness: the gate blocks lineages, not the channel.
+    assert len(tok.merge_history) >= 20
