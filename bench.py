@@ -125,7 +125,8 @@ def bench_enhanced(lines):
     windows = [st for st in tok.training_stats[1:]
                if st.get("chunk_merges", 0) >= 256
                and st.get("chunk_seconds", 0) > 0]
-    rates = sorted(st["chunk_merges"] / st["chunk_seconds"] for st in windows)
+    chrono = [st["chunk_merges"] / st["chunk_seconds"] for st in windows]
+    rates = sorted(chrono)
     steady = s.get("merges_per_sec")
     if steady is None:  # degenerate single-chunk run
         steady = merges / max(t_train, 1e-9)
@@ -134,6 +135,7 @@ def bench_enhanced(lines):
                 t_init=t_init, t_train=t_train,
                 ctor_stats=tok.ctor_stats,
                 backend=E.LAST_BACKEND,
+                window_rates_chrono=[round(r, 1) for r in chrono],
                 window_rates=[round(r, 1) for r in rates],
                 best_window=round(rates[-1], 1) if rates else None,
                 median_window=(round(rates[len(rates) // 2], 1)
@@ -175,6 +177,9 @@ def bench_allfeatures(lines):
         use_adaptive_curvature=True, optimize_curvature_freq=100,
         use_dense_channel=True, min_pair_freq=1, merge_batch=16,
         corpus_sample=lines, corpus_max_tokens=2_900_000,
+        # No pre-split in this config (reference semantics): the corpus has
+        # ~256k unique adjacent pairs — size the table so no snapshot drops.
+        freq_table_size=1 << 18,
         seed=0)
     t_init = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -187,7 +192,8 @@ def bench_allfeatures(lines):
     windows = [st for st in tok.training_stats[1:]
                if st.get("chunk_merges", 0) >= 256
                and st.get("chunk_seconds", 0) > 0]
-    rates = sorted(st["chunk_merges"] / st["chunk_seconds"] for st in windows)
+    chrono = [st["chunk_merges"] / st["chunk_seconds"] for st in windows]
+    rates = sorted(chrono)
     steady = s.get("merges_per_sec")
     if steady is None:
         steady = merges / max(t_train, 1e-9)
@@ -198,6 +204,7 @@ def bench_allfeatures(lines):
                 backend=E.LAST_BACKEND,
                 curvature=float(tok.curvature),
                 phase=tok.current_phase,
+                window_rates_chrono=[round(r, 1) for r in chrono],
                 window_rates=[round(r, 1) for r in rates],
                 best_window=round(rates[-1], 1) if rates else None,
                 median_window=(round(rates[len(rates) // 2], 1)
@@ -309,6 +316,7 @@ def main():
               f"train={enh['t_train']:.2f}s backend={enh['backend']} "
               f"steady_rate={round(enh['rate'], 1)} "
               f"windows={enh['window_rates']} "
+              f"windows_chrono={enh['window_rates_chrono']} "
               f"chunk_compile_s={enh['chunk_compile_s']} "
               f"chunk_syncs={enh['chunk_syncs']} "
               f"ctor_stats={json.dumps(enh['ctor_stats'])} "
@@ -321,6 +329,7 @@ def main():
               f"steady_rate={round(allf['rate'], 1)} "
               f"curvature={allf['curvature']:.4f} phase={allf['phase']} "
               f"windows={allf['window_rates']} "
+              f"windows_chrono={allf['window_rates_chrono']} "
               f"chunk_compile_s={allf['chunk_compile_s']} "
               f"chunk_syncs={allf['chunk_syncs']} "
               f"ctor_stats={json.dumps(allf['ctor_stats'])}",

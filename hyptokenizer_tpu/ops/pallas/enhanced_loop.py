@@ -620,9 +620,6 @@ def _pad_table(x, fill):
     return x.reshape(pad // LANES, LANES)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "grid", "interpret"),
-                   donate_argnames=("st",))
 def _run_segment(st, config, m_budget, s_budget, curv_stop,
                  grid: int, interpret: bool = False):
     base = st.base
@@ -787,6 +784,51 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
     )
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "n_steps", "grid", "interpret"),
+                   donate_argnames=("st",))
+def _run_chunk_fused(st, config, n_steps: int, grid: int,
+                     interpret: bool = False):
+    """Whole chunk as ONE jit: an XLA ``while_loop`` relaunches the segment
+    kernel and applies the adaptive-curvature Adam step between segments
+    entirely on-device.
+
+    Round 4's wrapper orchestrated segments from the HOST: one
+    ``int(num_merges)`` fetch + one curvature-update dispatch per segment.
+    At the reference's flagship ``optimize_curvature_freq=100`` that is ~20
+    round-trips per 2048-merge chunk, and on the tunneled TPU transport a
+    host fetch costs ~100 ms+ — measured 705 merges/s all-features steady
+    while bpe-mode (2 events/chunk) ran 3,400/s. Device-side orchestration
+    removes every per-segment round-trip; the host now touches the chunk
+    only at sync boundaries. Ordering is identical to the XLA while-loop
+    path: update fires before the segment that follows its crossing (the
+    host loop additionally applied a trailing pending update on exit, which
+    the XLA path never did — this matches the XLA path).
+    """
+    from hyptokenizer_tpu.tokenizer import enhanced_state as E
+
+    freq = config.curvature_freq if config.use_adaptive_curvature else 0
+    m_budget = st.base.num_merges + n_steps
+    s_budget = st.base.step + n_steps + 1024
+
+    def cond(s):
+        return ((~s.base.stopped) & (~s.needs_resync)
+                & (s.base.num_merges < m_budget)
+                & (s.base.step < s_budget))
+
+    def body(s):
+        if config.use_adaptive_curvature:
+            s = E._maybe_update_curvature(s, config)
+        if freq > 0:
+            curv_stop = (s.curv_last // freq + 1) * freq
+        else:
+            curv_stop = jnp.int32(1 << 30)
+        return _run_segment(s, config, m_budget, s_budget, curv_stop,
+                            grid=grid, interpret=interpret)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
 def run_enhanced_fused(st, config, n_steps: int, interpret: bool = False,
                        segment_grid: int = 1024):
     """Run one enhanced chunk with the fused segment kernel.
@@ -794,29 +836,12 @@ def run_enhanced_fused(st, config, n_steps: int, interpret: bool = False,
     Same contract as ``enhanced_state.run_enhanced``: sync corpus statistics,
     then merge up to ``n_steps`` tokens (queue exhaustion or candidate
     drought may end earlier; the caller's chunk loop resyncs). Kernel
-    segments halt at adaptive-curvature events so the Adam step (autodiff)
-    runs in XLA with identical ordering to the while-loop path.
+    segments halt at adaptive-curvature events; segment relaunches and the
+    curvature Adam step run inside one jitted device-side while loop
+    (``_run_chunk_fused``) with zero per-segment host round-trips.
     """
     from hyptokenizer_tpu.tokenizer import enhanced_state as E
 
     st = E.sync_corpus_jit(st, config)
-    start_m = int(st.base.num_merges)
-    start_s = int(st.base.step)
-    m_budget = start_m + n_steps
-    s_budget = start_s + n_steps + 1024
-    freq = config.curvature_freq if config.use_adaptive_curvature else 0
-    big = 1 << 30
-    while True:
-        if config.use_adaptive_curvature:
-            st = E.curvature_update_jit(st, config)
-        nm = int(st.base.num_merges)
-        if (nm >= m_budget or int(st.base.step) >= s_budget
-                or bool(st.base.stopped) or bool(st.needs_resync)):
-            break
-        if freq > 0:
-            curv_stop = (int(st.curv_last) // freq + 1) * freq
-        else:
-            curv_stop = big
-        st = _run_segment(st, config, m_budget, s_budget, curv_stop,
-                          grid=segment_grid, interpret=interpret)
-    return st
+    return _run_chunk_fused(st, config, n_steps, grid=segment_grid,
+                            interpret=interpret)

@@ -226,12 +226,23 @@ class EnhancedState:
 @functools.partial(jax.jit,
                    static_argnames=("max_v", "table_size", "queue_size",
                                     "coh_samples"))
-def assemble_enhanced_buffers(t_hash0, b_len0, vflag0, max_v: int,
+def assemble_enhanced_buffers(t_feat, morph_tab, word_tab, misc, max_v: int,
                               table_size: int, queue_size: int = 4096,
                               coh_samples: int = 50):
-    """Pad initial-vocab token features to max_v and build the constant-fill
-    pair-table/queue buffers on device (one cacheable compile, ~no upload)."""
-    n0 = t_hash0.shape[0]
+    """Build EVERY enhanced-state device array in one cacheable dispatch.
+
+    Inputs cross host->device as four small arrays: ``t_feat`` (n0, 4)
+    int32 = [hash1, hash2, byte_len, has_vowel] per initial token, the two
+    sorted morphology hash tables, and ``misc`` (3,) int32 =
+    [seed, morph_size, word_size]. Everything else — padded feature
+    buffers, constant-fill pair table and queues, the PRNG key, the
+    hash-power tables (a trace-time constant baked into the executable),
+    and every scalar field — is produced device-side. Dispatch count IS
+    ctor wall time on the tunneled transport (each deferred op pays a
+    round-trip at the ctor's flush fetch; measured 59 s in bad weather
+    pre-batching), so this is one jit call, not thirty ``jnp.asarray``\\ s.
+    """
+    n0 = t_feat.shape[0]
     pair_keys = jnp.full((table_size, 2), scoring.PKEY_SENT)
     pair_counts = jnp.zeros((table_size,), jnp.int32)
     q_i = jnp.full((3, queue_size), -1, jnp.int32)
@@ -239,11 +250,30 @@ def assemble_enhanced_buffers(t_hash0, b_len0, vflag0, max_v: int,
     q_dist = jnp.full((3, queue_size), INF, jnp.float32)
     q_score = jnp.full((3, queue_size), -INF, jnp.float32)
     samples = jnp.zeros((coh_samples,), jnp.int32)
-    token_hash = jnp.zeros((max_v, 2), jnp.int32).at[:n0].set(t_hash0)
-    byte_lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(b_len0)
-    has_vowel = jnp.zeros((max_v,), jnp.bool_).at[:n0].set(vflag0)
+    token_hash = jnp.zeros((max_v, 2), jnp.int32).at[:n0].set(t_feat[:, :2])
+    byte_lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(t_feat[:, 2])
+    has_vowel = jnp.zeros((max_v,), jnp.bool_).at[:n0].set(
+        t_feat[:, 3].astype(jnp.bool_))
+    key = jax.random.PRNGKey(misc[0])
+    powers = scoring.hash_powers()  # numpy at trace time -> baked constant
+    scalars = dict(
+        phase=jnp.asarray(1, jnp.int32),
+        corpus_synced=jnp.asarray(0, jnp.int32),
+        corpus_tokens=jnp.asarray(0, jnp.int32),
+        max_pair_count=jnp.asarray(0, jnp.int32),
+        pair_unique=jnp.asarray(0, jnp.int32),
+        q_valid_total=jnp.zeros((3,), jnp.int32),
+        needs_resync=jnp.asarray(False),
+        curv_m=jnp.asarray(0.0, jnp.float32),
+        curv_v=jnp.asarray(0.0, jnp.float32),
+        curv_t=jnp.asarray(0, jnp.int32),
+        curv_last=jnp.asarray(0, jnp.int32),
+        morph_size=misc[1],
+        word_size=misc[2],
+    )
     return (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, samples,
-            token_hash, byte_lengths, has_vowel)
+            token_hash, byte_lengths, has_vowel, key, powers,
+            morph_tab, word_tab, scalars)
 
 
 # ----------------------------------------------------------------- features

@@ -108,20 +108,36 @@ class MergeState:
 
 
 @functools.partial(jax.jit, static_argnames=("max_v",))
-def _assemble_buffers(emb0: jax.Array, lengths0: jax.Array, max_v: int):
+def _assemble_buffers(emb0: jax.Array, lengths0: jax.Array,
+                      thr_curv: jax.Array, max_v: int):
     """Pad the initial-vocab arrays into the ``max_v`` training buffers.
 
     One jitted device-side assembly (a single cacheable compile): only the
-    small (n0, d+1) initial arrays cross host->device. Building the padded
-    buffers host-side and uploading them costs tens of seconds through a
-    remote-device transport at max_v=50k (~21 MB).
+    small (n0, d+1) initial arrays and a (2,) [threshold, curvature] float
+    vector cross host->device. Building the padded buffers host-side and
+    uploading them costs tens of seconds through a remote-device transport
+    at max_v=50k (~21 MB); likewise, EVERY state scalar is produced here
+    rather than as its own ``jnp.asarray`` — the tunneled transport defers
+    per-op work into the ctor's flush fetch, so dispatch count is ctor
+    wall time (BENCH round 5: 59 s of ctor flush in bad tunnel weather).
     """
     n0, d1 = emb0.shape
     emb = jnp.zeros((max_v, d1), jnp.float32).at[:n0].set(emb0)
     lengths = jnp.zeros((max_v,), jnp.int32).at[:n0].set(lengths0)
     merges = jnp.full((max_v, 2), -1, jnp.int32)
     merge_dists = jnp.zeros((max_v,), jnp.float32)
-    return emb, lengths, merges, merge_dists
+    scalars = dict(
+        vocab_size=jnp.asarray(n0, jnp.int32),
+        num_merges=jnp.asarray(0, jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        threshold=thr_curv[0],
+        curvature=thr_curv[1],
+        empty_rounds=jnp.asarray(0, jnp.int32),
+        stopped=jnp.asarray(False, jnp.bool_),
+    )
+    poison_bd = jnp.full((max_v,), -jnp.inf, jnp.float32)
+    poison_bj = jnp.full((max_v,), -1, jnp.int32)
+    return emb, lengths, merges, merge_dists, scalars, poison_bd, poison_bj
 
 
 def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
@@ -143,11 +159,13 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
             return x.astype(dt)
         return jnp.asarray(np.asarray(x), dt)
 
-    emb, lengths, merges, merge_dists = _assemble_buffers(
-        _dev(emb0, jnp.float32), _dev(lengths0, jnp.int32), max_v)
-    vocab_size = jnp.asarray(n0, jnp.int32)
-    num_merges = jnp.asarray(0, jnp.int32)
-    c = jnp.asarray(curvature, jnp.float32)
+    thr_curv = jnp.asarray(np.asarray([threshold, curvature], np.float32))
+    (emb, lengths, merges, merge_dists, scalars,
+     poison_bd, poison_bj) = _assemble_buffers(
+        _dev(emb0, jnp.float32), _dev(lengths0, jnp.int32), thr_curv, max_v)
+    vocab_size = scalars["vocab_size"]
+    num_merges = scalars["num_merges"]
+    c = scalars["curvature"]
 
     use_pallas = config.use_pallas
     if use_pallas is None:
@@ -155,8 +173,8 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     if not config.init_candidates:
         # Dense channel unused (corpus-only enhanced mode): poison instead
         # of computing (see MergeConfig.init_candidates).
-        best_dist = jnp.full((max_v,), -jnp.inf, jnp.float32)
-        best_j = jnp.full((max_v,), -1, jnp.int32)
+        best_dist = poison_bd
+        best_j = poison_bj
     elif use_pallas:
         # History is empty at init: the fused kernel applies directly.
         from hyptokenizer_tpu.ops.pallas import pairwise_min_best
@@ -168,10 +186,10 @@ def init_state(emb0: jax.Array, lengths0: jax.Array, *, curvature: float = 1.0,
     return MergeState(
         emb=emb, lengths=lengths, best_dist=best_dist, best_j=best_j,
         merges=merges, merge_dists=merge_dists, vocab_size=vocab_size,
-        num_merges=num_merges, step=jnp.asarray(0, jnp.int32),
-        threshold=jnp.asarray(threshold, jnp.float32), curvature=c,
-        empty_rounds=jnp.asarray(0, jnp.int32),
-        stopped=jnp.asarray(False, jnp.bool_),
+        num_merges=num_merges, step=scalars["step"],
+        threshold=scalars["threshold"], curvature=c,
+        empty_rounds=scalars["empty_rounds"],
+        stopped=scalars["stopped"],
     )
 
 

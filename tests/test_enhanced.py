@@ -260,10 +260,11 @@ def test_enhanced_training_correct_at_100k_vocab():
         n_init=n_init, has_corpus=True, use_frequency=True,
         use_dense_channel=False, merge_batch=1, freq_table_size=1 << 12)
     (pair_keys, pair_counts, q_i, q_j, q_dist, q_score, coh_samples,
-     token_hash, byte_lengths, has_vowel) = E.assemble_enhanced_buffers(
-        jnp.zeros((0, 2), jnp.int32), jnp.zeros((0,), jnp.int32),
-        jnp.zeros((0,), jnp.bool_), max_v, 1 << 12,
-        config.queue_size, config.coherence_samples)
+     token_hash, byte_lengths, has_vowel, _key, _powers, _mt, _wt,
+     _scal) = E.assemble_enhanced_buffers(
+        jnp.zeros((0, 4), jnp.int32), jnp.full((8,), 2**31 - 1, jnp.int32),
+        jnp.full((8,), 2**31 - 1, jnp.int32), jnp.zeros((3,), jnp.int32),
+        max_v, 1 << 12, config.queue_size, config.coherence_samples)
     st = E.EnhancedState(
         base=base, key=jax.random.PRNGKey(0),
         phase=jnp.asarray(1, jnp.int32), corpus=corpus,
