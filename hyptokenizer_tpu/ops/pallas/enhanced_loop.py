@@ -785,9 +785,9 @@ def _run_segment(st, config, m_budget, s_budget, curv_stop,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("config", "n_steps", "grid", "interpret"),
+                   static_argnames=("config", "grid", "interpret"),
                    donate_argnames=("st",))
-def _run_chunk_fused(st, config, n_steps: int, grid: int,
+def _run_chunk_fused(st, config, n_steps, grid: int,
                      interpret: bool = False):
     """Whole chunk as ONE jit: an XLA ``while_loop`` relaunches the segment
     kernel and applies the adaptive-curvature Adam step between segments
@@ -804,6 +804,11 @@ def _run_chunk_fused(st, config, n_steps: int, grid: int,
     path: update fires before the segment that follows its crossing (the
     host loop additionally applied a trailing pending update on exit, which
     the XLA path never did — this matches the XLA path).
+
+    ``n_steps`` is a TRACED argument: the chunk wrapper re-enters with a
+    different ``remaining`` after every mid-chunk resync, and a static
+    budget would compile a fresh chunk executable per value (measured
+    3-6 s recompiles inside late windows).
     """
     from hyptokenizer_tpu.tokenizer import enhanced_state as E
 

@@ -20,9 +20,9 @@ from hyptokenizer_tpu.tokenizer import state as state_lib
 from hyptokenizer_tpu.tokenizer.state import MergeConfig, MergeState
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("state",))
-def _run(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
+def _run(state: MergeState, config: MergeConfig, n_steps) -> MergeState:
     start = state.step
 
     def cond(s):
@@ -31,9 +31,9 @@ def _run(state: MergeState, config: MergeConfig, n_steps: int) -> MergeState:
     return jax.lax.while_loop(cond, lambda s: state_lib.merge_step(s, config), state)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("st",))
-def _run_enhanced(st, config, n_steps: int):
+def _run_enhanced(st, config, n_steps):
     from hyptokenizer_tpu.tokenizer import enhanced_state as E
     st = E.sync_corpus(st, config)
     return _enhanced_loop_body(st, config, n_steps)
@@ -548,9 +548,9 @@ def run_enhanced_sharded(st, config, n_steps: int, mesh: Mesh):
     return shard_enhanced_state(st, mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("st",))
-def _enhanced_loop_jit(st, config, n_steps: int):
+def _enhanced_loop_jit(st, config, n_steps):
     return _enhanced_loop_body(st, config, n_steps)
 
 

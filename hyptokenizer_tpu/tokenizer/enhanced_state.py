@@ -793,11 +793,14 @@ def _sync_finish(st: EnhancedState, config: EnhancedConfig, corpus,
                       needs_resync=jnp.asarray(False))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("st",))
 def _run_enhanced_xla(st: EnhancedState, config: EnhancedConfig,
-                      n_steps: int) -> EnhancedState:
-    """XLA while-loop backend for :func:`run_enhanced`."""
+                      n_steps) -> EnhancedState:
+    """XLA while-loop backend for :func:`run_enhanced`.
+
+    ``n_steps`` is traced (one executable for every ``remaining`` value the
+    resync wrapper re-enters with)."""
     st = sync_corpus(st, config)
     start_merges = st.base.num_merges
     start_step = st.base.step

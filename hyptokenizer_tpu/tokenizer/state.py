@@ -429,11 +429,12 @@ def config_capacity(state: MergeState) -> jax.Array:
     return state.emb.shape[0] - state.vocab_size
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("state",))
 def _run_merges_xla(state: MergeState, config: MergeConfig,
-                    n_steps: int) -> MergeState:
-    """Run up to ``n_steps`` merge steps in one compiled while-loop."""
+                    n_steps) -> MergeState:
+    """Run up to ``n_steps`` merge steps in one compiled while-loop
+    (``n_steps`` traced: one executable for every chunk size)."""
     start = state.step
 
     def cond(s):
