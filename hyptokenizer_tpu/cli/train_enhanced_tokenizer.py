@@ -85,6 +85,10 @@ def main(argv=None):
     p.add_argument("--hs-ranking-steps", type=int, default=27_000)
     p.add_argument("--hs-ordinal-steps", type=int, default=16_000)
     p.add_argument("--hs-lr", type=float, default=0.3)
+    p.add_argument("--hs-hop-rank", type=int, default=6,
+                   help="ranking warm-up hop cap")
+    p.add_argument("--hs-hop-ord", type=int, default=16,
+                   help="ordinal polish hop cap (eval pairs run 7-16 hops)")
     args, _ = parse_with_config(p, argv)
 
     setup_logging()
@@ -175,7 +179,8 @@ def main(argv=None):
                         else None),
             merge_tree=args.hierarchy_supervision in ("merge-tree", "both"),
             seed=args.seed, ranking_steps=args.hs_ranking_steps,
-            ordinal_steps=args.hs_ordinal_steps, lr=args.hs_lr)
+            ordinal_steps=args.hs_ordinal_steps, lr=args.hs_lr,
+            hop_rank=args.hs_hop_rank, hop_ord=args.hs_hop_ord)
         v = emb_out.shape[0]
         tok.state = tok.state.replace(
             emb=tok.state.emb.at[:v].set(emb_out))

@@ -52,7 +52,8 @@ def graph_pairs(graph, mapping, max_dist: int):
 def supervise_embeddings(tok, graph_path=None, merge_tree=False,
                          seed: int = 0, ranking_steps: int = 27_000,
                          ordinal_steps: int = 16_000, lr: float = 0.3,
-                         batch: int = 2048, negatives: int = 10):
+                         batch: int = 2048, negatives: int = 10,
+                         hop_rank: int = 6, hop_ord: int = 16):
     """Hierarchy supervision recipe, as one call on a live tokenizer.
 
     WordNet mode: ranking-NLL warm-up over <=6-hop pairs (global structure),
@@ -81,12 +82,16 @@ def supervise_embeddings(tok, graph_path=None, merge_tree=False,
         graph = load_wordnet_graph(graph_path)
         mapping = create_node_mapping(graph, tok.vocab)
         neg_pool = np.asarray(sorted(set(mapping.values())), np.int32)
-        pairs6, w6 = graph_pairs(graph, mapping, 6)
+        pairs6, w6 = graph_pairs(graph, mapping, hop_rank)
         emb, _ = ET.train_embeddings_pairs(
             emb, jnp.asarray(pairs6), jnp.asarray(w6),
             jnp.asarray(neg_pool), key, steps=ranking_steps, batch=batch,
             negatives=negatives, lr=lr, c=c)
-        pairs10, w10 = graph_pairs(graph, mapping, 10)
+        # Ordinal polish hop cap: the 5k-pair eval protocol samples random
+        # connected mapped pairs whose graph distances run 7-16 hops
+        # (median 12) — a 10-hop cap left ~75 % of evaluated pairs outside
+        # the supervised range (round-5 sweep: 16 hops lifts spearman).
+        pairs10, w10 = graph_pairs(graph, mapping, hop_ord)
         targets10 = jnp.asarray(1.0 / w10, jnp.float32)
         emb, _ = ET.train_embeddings_ordinal(
             emb, jnp.asarray(pairs10), targets10,

@@ -45,9 +45,8 @@ def main(argv=None):
 
     from scipy import stats as sps
 
-    from hyptokenizer_tpu.evals import (
-        create_node_mapping, load_wordnet_graph, sample_connected_pairs,
-    )
+    from hyptokenizer_tpu.evals import create_node_mapping, load_wordnet_graph
+    from hyptokenizer_tpu.evals.hierarchy import sample_connected_pairs
     from hyptokenizer_tpu.ops import lorentz as L
     from hyptokenizer_tpu.tokenizer import HyperbolicTokenizer
 
