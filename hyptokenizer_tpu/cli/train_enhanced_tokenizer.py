@@ -83,12 +83,13 @@ def main(argv=None):
                    help="WordNet graph pickle for --hierarchy-supervision "
                         "wordnet/both (cli.build_wordnet_graph)")
     p.add_argument("--hs-ranking-steps", type=int, default=27_000)
-    p.add_argument("--hs-ordinal-steps", type=int, default=16_000)
+    p.add_argument("--hs-ordinal-steps", type=int, default=32_000)
     p.add_argument("--hs-lr", type=float, default=0.3)
-    p.add_argument("--hs-hop-rank", type=int, default=6,
+    p.add_argument("--hs-hop-rank", type=int, default=8,
                    help="ranking warm-up hop cap")
-    p.add_argument("--hs-hop-ord", type=int, default=16,
-                   help="ordinal polish hop cap (eval pairs run 7-16 hops)")
+    p.add_argument("--hs-hop-ord", type=int, default=20,
+                   help="ordinal polish hop cap (eval pairs run 7-16 hops; "
+                        "round-5 sweep winner)")
     args, _ = parse_with_config(p, argv)
 
     setup_logging()

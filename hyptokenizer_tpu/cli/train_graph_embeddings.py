@@ -51,20 +51,24 @@ def graph_pairs(graph, mapping, max_dist: int):
 
 def supervise_embeddings(tok, graph_path=None, merge_tree=False,
                          seed: int = 0, ranking_steps: int = 27_000,
-                         ordinal_steps: int = 16_000, lr: float = 0.3,
+                         ordinal_steps: int = 32_000, lr: float = 0.3,
                          batch: int = 2048, negatives: int = 10,
-                         hop_rank: int = 6, hop_ord: int = 16):
+                         hop_rank: int = 8, hop_ord: int = 20):
     """Hierarchy supervision recipe, as one call on a live tokenizer.
 
-    WordNet mode: ranking-NLL warm-up over <=6-hop pairs (global structure),
-    then a two-stage ordinal pairwise-order polish over <=10-hop pairs —
-    the loss that optimizes exactly what eval_hierarchy's spearman_r
-    measures; the second polish stage doubles the batch and cools the lr.
-    Defaults are the measured 50k-flagship recipe: spearman 0.057 (random)
-    -> 0.353 on the 5k-pair protocol (RESULTS.md round 4; 0.397 at 8k
-    vocab in round 3). Merge-tree mode: ranking NLL on the tokenizer's own
-    merge tree (no external graph). Returns the updated (V, d+1) embedding
-    array (numpy).
+    WordNet mode: ranking-NLL warm-up over <=hop_rank-hop pairs (global
+    structure), then a two-stage ordinal pairwise-order polish over
+    <=hop_ord-hop pairs — the loss that optimizes exactly what
+    eval_hierarchy's spearman_r measures; the second polish stage doubles
+    the batch and cools the lr. Defaults are the round-5 sweep winner
+    (results_r5/hs_sweep*.json, rank<=8 / ord<=20 / 32k polish steps):
+    spearman 0.054 (random) -> 0.567 at the full 50k vocab on the 5k-pair
+    protocol — 57 % of the eval's measured mapping ceiling of 0.996
+    (tools/hierarchy_ceiling.py). The round-4 recipe (6/10/16k) measured
+    0.362: its 10-hop polish cap left ~75 % of evaluated pairs (graph
+    distances 7-16, median 12) outside the supervised range. Merge-tree
+    mode: ranking NLL on the tokenizer's own merge tree (no external
+    graph). Returns the updated (V, d+1) embedding array (numpy).
     """
     import jax
     import jax.numpy as jnp
@@ -89,8 +93,8 @@ def supervise_embeddings(tok, graph_path=None, merge_tree=False,
             negatives=negatives, lr=lr, c=c)
         # Ordinal polish hop cap: the 5k-pair eval protocol samples random
         # connected mapped pairs whose graph distances run 7-16 hops
-        # (median 12) — a 10-hop cap left ~75 % of evaluated pairs outside
-        # the supervised range (round-5 sweep: 16 hops lifts spearman).
+        # (median 12) — a cap below that range leaves most evaluated pairs
+        # unsupervised (round-5 sweep: 10->20 hops lifts 0.362 -> 0.567).
         pairs10, w10 = graph_pairs(graph, mapping, hop_ord)
         targets10 = jnp.asarray(1.0 / w10, jnp.float32)
         emb, _ = ET.train_embeddings_ordinal(

@@ -51,12 +51,17 @@ def main():
                                       jnp.asarray(emb[jj]), c))
         return float(sps.spearmanr(emb_d, graph_d).statistic)
 
-    variants = [
-        dict(name="r4-recipe (6,10)", hop_rank=6, hop_ord=10),
-        dict(name="ord16", hop_rank=6, hop_ord=16),
-        dict(name="ord16-long", hop_rank=6, hop_ord=16, ordinal_steps=32_000),
-        dict(name="rank8-ord20", hop_rank=8, hop_ord=20),
-    ]
+    if len(sys.argv) > 4:  # optional variants JSON file, round-2 probes
+        with open(sys.argv[4]) as f:
+            variants = json.load(f)
+    else:
+        variants = [
+            dict(name="r4-recipe (6,10)", hop_rank=6, hop_ord=10),
+            dict(name="ord16", hop_rank=6, hop_ord=16),
+            dict(name="ord16-long", hop_rank=6, hop_ord=16,
+                 ordinal_steps=32_000),
+            dict(name="rank8-ord20", hop_rank=8, hop_ord=20),
+        ]
     results = {"baseline_unsupervised": score(base_emb)}
     print(f"unsupervised: {results['baseline_unsupervised']:.4f}", flush=True)
     for v in variants:
